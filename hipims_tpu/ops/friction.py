@@ -1,0 +1,46 @@
+"""Point-implicit Manning friction (Liang 2010).
+
+Mirrors implicitFriction (reference: src/Schemes/CLFriction.clc:26-72):
+a denominator-implicit update of both discharge components, clamped so
+friction can only stop flow, never reverse it.  Vectorised over the grid.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import GRAVITY
+
+
+def implicit_friction(z, qx, qy, zb, manning, dt, very_small):
+    """Return (qx_new, qy_new) after one implicit friction step.
+
+    No-op (returns inputs) where depth or total discharge is below the dry
+    threshold, matching the reference's early-out.
+    """
+    vs = very_small
+    h = z - zb
+    q_mag = jnp.sqrt(qx * qx + qy * qy)
+    skip = (h < vs) | (q_mag < vs)
+
+    h_safe = jnp.where(skip, 1.0, h)
+    q_safe = jnp.where(skip, 1.0, q_mag)
+
+    cf = GRAVITY * manning * manning / jnp.cbrt(h_safe)
+    inv_h2 = cf / (h_safe * h_safe)
+    sfx = -inv_h2 * qx * q_mag
+    sfy = -inv_h2 * qy * q_mag
+    dx_den = 1.0 + dt * inv_h2 * (2.0 * qx * qx + qy * qy) / q_safe
+    dy_den = 1.0 + dt * inv_h2 * (qx * qx + 2.0 * qy * qy) / q_safe
+    fx = sfx / dx_den
+    fy = sfy / dy_den
+
+    # Friction may stop the flow but never reverse it.
+    limit_x = -qx / dt
+    limit_y = -qy / dt
+    fx = jnp.where(qx >= 0.0, jnp.maximum(fx, limit_x), jnp.minimum(fx, limit_x))
+    fy = jnp.where(qy >= 0.0, jnp.maximum(fy, limit_y), jnp.minimum(fy, limit_y))
+
+    qx_new = jnp.where(skip, qx, qx + dt * fx)
+    qy_new = jnp.where(skip, qy, qy + dt * fy)
+    return qx_new, qy_new

@@ -1,0 +1,152 @@
+"""First-order Godunov-type finite-volume step, fully vectorised.
+
+Semantics mirror gts_cacheDisabled (reference:
+src/Schemes/CLSchemeGodunov.clc:164-384): per interior cell, reconstruct all
+four interfaces depth-positively, solve HLLC, apply bed-slope source terms,
+update (z, qx, qy), optional fused implicit friction, track max FSL and clamp
+tiny depths to the bed.  Differences from the reference are purely
+structural, not numerical:
+
+* each interface is solved once (shared between its two cells) with the
+  per-cell datum shift applied as a closed-form correction — see
+  ops/riemann.py for the algebra;
+* the ping-pong buffer pair becomes a pure state-in/state-out function
+  (XLA donates buffers under jit);
+* all branches (disabled cells, dry neighbourhoods, suspended timestep)
+  become where-masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..state import DomainStatic, FlowState
+from .friction import implicit_friction
+from .riemann import shift_correction, solve_interfaces
+
+
+class SchemeParams(NamedTuple):
+    """Static numerical-scheme configuration."""
+
+    dx: float
+    dy: float
+    very_small: float = C.VERY_SMALL
+    quite_small: float = C.QUITE_SMALL
+    friction: bool = True
+
+
+def _round_small(delta, vs):
+    """Zero deltas with magnitude below the dry threshold (reference:
+    src/Schemes/CLSchemeGodunov.clc:338-348)."""
+    return jnp.where(jnp.abs(delta) < vs, 0.0, delta)
+
+
+def godunov_step(state: FlowState, static: DomainStatic, dt,
+                 params: SchemeParams) -> FlowState:
+    """One first-order step.  ``dt`` may be a traced scalar; dt <= 0 or any
+    per-cell skip condition leaves the cell unchanged."""
+    vs = params.very_small
+    z, zmax, qx, qy = (jnp.asarray(a) for a in
+                       (state.z, state.zmax, state.qx, state.qy))
+    zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+
+    # --- Interface solves (one per physical interface) -------------------
+    # x-axis: between (y, i) [left] and (y, i+1) [right]; along = qx.
+    fx = solve_interfaces(
+        z[:, :-1], zb[:, :-1], qx[:, :-1], qy[:, :-1],
+        z[:, 1:], zb[:, 1:], qx[:, 1:], qy[:, 1:], vs)
+    # y-axis: between (j, x) [left/south] and (j+1, x) [right/north];
+    # along = qy.  (North = +y: src/Domain/Cartesian/CLDomainCartesian.clc.)
+    fy = solve_interfaces(
+        z[:-1, :], zb[:-1, :], qy[:-1, :], qx[:-1, :],
+        z[1:, :], zb[1:, :], qy[1:, :], qx[1:, :], vs)
+
+    # --- Per-cell assembly on the interior ring --------------------------
+    sl = (slice(1, -1), slice(1, -1))
+    zc = z[sl]
+    zbc = zb[sl]
+
+    def face(fl, idx):
+        return type(fl)(*(a[idx] for a in fl))
+
+    f_e = face(fx, (slice(1, -1), slice(1, None)))
+    f_w = face(fx, (slice(1, -1), slice(None, -1)))
+    f_n = face(fy, (slice(1, None), slice(1, -1)))
+    f_s = face(fy, (slice(None, -1), slice(1, -1)))
+
+    # Datum-shift corrections per (cell, face).
+    s_e, c_e = shift_correction(zc, f_e.zbm)
+    s_w, c_w = shift_correction(zc, f_w.zbm)
+    s_n, c_n = shift_correction(zc, f_n.zbm)
+    s_s, c_s = shift_correction(zc, f_s.zbm)
+
+    inv_dx = 1.0 / params.dx
+    inv_dy = 1.0 / params.dy
+
+    # Bed-slope source terms use the neighbour-side reconstructed surface and
+    # the shifted local bed at each face (reference:
+    # src/Schemes/CLSchemeGodunov.clc:321-325).
+    z_e = f_e.zr - s_e
+    z_w = f_w.zl - s_w
+    z_n = f_n.zr - s_n
+    z_s = f_s.zl - s_s
+    zb_e = f_e.zbm - s_e
+    zb_w = f_w.zbm - s_w
+    zb_n = f_n.zbm - s_n
+    zb_s = f_s.zbm - s_s
+    src_x = -C.GRAVITY * 0.5 * (z_e + z_w) * (zb_e - zb_w) * inv_dx
+    src_y = -C.GRAVITY * 0.5 * (z_n + z_s) * (zb_n - zb_s) * inv_dy
+
+    d_z = ((f_e.mass - f_w.mass) * inv_dx
+           + (f_n.mass - f_s.mass) * inv_dy)
+    d_qx = (((f_e.along + c_e) - (f_w.along + c_w)) * inv_dx
+            + (f_n.cross - f_s.cross) * inv_dy - src_x)
+    d_qy = ((f_e.cross - f_w.cross) * inv_dx
+            + ((f_n.along + c_n) - (f_s.along + c_s)) * inv_dy - src_y)
+
+    d_z = _round_small(d_z, vs)
+    d_qx = _round_small(d_qx, vs)
+    d_qy = _round_small(d_qy, vs)
+
+    # Wet/dry stopping: any face flags it -> zero this cell's discharge
+    # before applying the update.
+    stop = f_e.stop_l | f_w.stop_r | f_n.stop_l | f_s.stop_r
+
+    qx_c = jnp.where(stop, 0.0, qx[sl])
+    qy_c = jnp.where(stop, 0.0, qy[sl])
+    z_new = zc - dt * d_z
+    qx_new = qx_c - dt * d_qx
+    qy_new = qy_c - dt * d_qy
+
+    if params.friction:
+        qx_new, qy_new = implicit_friction(
+            z_new, qx_new, qy_new, zbc, n[sl],
+            jnp.maximum(dt, vs), vs)
+
+    zmax_c = zmax[sl]
+    zmax_new = jnp.where((z_new > zmax_c) & (zmax_c > -9990.0),
+                         z_new, zmax_c)
+    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+
+    # --- Skip masks ------------------------------------------------------
+    disabled = (zmax_c <= C.NODATA) | (zc == C.NODATA)
+    h_raw = z - zb
+    dry = h_raw < vs
+    dry5 = (dry[sl] & dry[1:-1, 2:] & dry[1:-1, :-2]
+            & dry[2:, 1:-1] & dry[:-2, 1:-1])
+    keep = disabled | dry5 | (dt <= 0.0)
+
+    z_out = jnp.where(keep, zc, z_new)
+    zmax_out = jnp.where(keep, zmax_c, zmax_new)
+    qx_out = jnp.where(keep, qx[sl], qx_new)
+    qy_out = jnp.where(keep, qy[sl], qy_new)
+
+    return FlowState(
+        z=z.at[sl].set(z_out),
+        zmax=zmax.at[sl].set(zmax_out),
+        qx=qx.at[sl].set(qx_out),
+        qy=qy.at[sl].set(qy_out),
+    )

@@ -1,0 +1,217 @@
+"""Depth-positivity-preserving interface reconstruction + HLLC flux, vectorised
+over all interfaces of one axis at once.
+
+Design note (TPU-first): the reference evaluates every interface twice, once
+from each adjacent cell, with a per-cell vertical datum shift
+(reference: src/Schemes/CLSchemeGodunov.clc:27-159 reconstructInterface;
+src/Solvers/CLSolverHLLC.clc:27-248 riemannSolver).  The shift ``s`` lowers
+both the reconstructed surface ``z`` and the local bed ``zb`` by the same
+amount, and algebra shows it changes the momentum-pressure flux by an
+additive constant
+
+    C(s) = 0.5 * g * s * (2 * zb_max - s)
+
+identical for the left flux, the right flux, and the HLLC middle-state flux,
+while the mass flux, wave speeds and branch selection are shift-invariant.
+We therefore solve each Riemann problem ONCE per interface with s = 0 and let
+the per-cell update add C(s_cell) — exactly reproducing the reference's
+per-cell answer with half the flux work and no interleaved AoS loads.
+
+All inputs are arrays over interfaces; "along" denotes the axis normal to the
+interface, "cross" the tangential axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GRAVITY
+
+
+class InterfaceFlux(NamedTuple):
+    """Shared (shift-free) interface solution.
+
+    mass:    flux of z (volume)                 -- shift-invariant
+    along:   flux of along-axis discharge       -- add C(s) per cell
+    cross:   flux of cross-axis discharge       -- shift-invariant
+    zbm:     max bed elevation at the interface (pre-shift local datum)
+    zl, zr:  reconstructed surface levels either side (pre-shift)
+    stop_l:  wet/dry stopping condition seen by the left cell
+    stop_r:  wet/dry stopping condition seen by the right cell
+    """
+
+    mass: jax.Array
+    along: jax.Array
+    cross: jax.Array
+    zbm: jax.Array
+    zl: jax.Array
+    zr: jax.Array
+    stop_l: jax.Array
+    stop_r: jax.Array
+
+
+def _safe_div(num, den, fallback=0.0):
+    """num/den with a well-defined value (and no NaN gradient) when den==0."""
+    bad = den == 0
+    den_safe = jnp.where(bad, 1.0, den)
+    return jnp.where(bad, fallback, num / den_safe)
+
+
+def solve_interfaces(zl, zbl, qal, qcl, zr, zbr, qar, qcr,
+                     very_small: float) -> InterfaceFlux:
+    """Reconstruct + HLLC for a batch of interfaces (first-order data).
+
+    Semantics mirror reconstructInterface
+    (src/Schemes/CLSchemeGodunov.clc:27-159) and riemannSolver
+    (src/Solvers/CLSolverHLLC.clc:27-248) with the datum shift factored out.
+    """
+    vs = very_small
+
+    # Raw depths and velocities (velocity zeroed below the dry threshold, as
+    # in the reference's pre-reconstruction step).
+    hl_raw = zl - zbl
+    hr_raw = zr - zbr
+    ual = jnp.where(hl_raw < vs, 0.0, _safe_div(qal, hl_raw))
+    ucl = jnp.where(hl_raw < vs, 0.0, _safe_div(qcl, hl_raw))
+    uar = jnp.where(hr_raw < vs, 0.0, _safe_div(qar, hr_raw))
+    ucr = jnp.where(hr_raw < vs, 0.0, _safe_div(qcr, hr_raw))
+
+    # Non-negative reconstruction against the common (max) bed.
+    zbm = jnp.maximum(zbl, zbr)
+    hl = jnp.maximum(zl - zbm, 0.0)
+    hr = jnp.maximum(zr - zbm, 0.0)
+    zlr = hl + zbm
+    zrr = hr + zbm
+    qal_r = hl * ual
+    qcl_r = hl * ucl
+    qar_r = hr * uar
+    qcr_r = hr * ucr
+
+    return _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+                 ual, ucl, uar, ucr, qal, qar, vs)
+
+
+def solve_interfaces_muscl(zl_e, hl_e, qal_e, qcl_e,
+                           zr_e, hr_e, qar_e, qcr_e,
+                           qal_cell, qar_cell,
+                           very_small: float) -> InterfaceFlux:
+    """Reconstruct + HLLC for MUSCL face-extrapolated estimates.
+
+    Mirrors the corrector-stage reconstructInterface overload
+    (src/Schemes/CLSchemeMUSCLHancock.clc:1119-1230): each side supplies an
+    extrapolated (z, h, qx, qy) estimate whose implied bed is z - h; the
+    stopping conditions still consult the raw cell discharges
+    (qal_cell / qar_cell).
+    """
+    vs = very_small
+
+    ual = jnp.where(hl_e <= vs, 0.0, _safe_div(qal_e, hl_e))
+    ucl = jnp.where(hl_e <= vs, 0.0, _safe_div(qcl_e, hl_e))
+    uar = jnp.where(hr_e <= vs, 0.0, _safe_div(qar_e, hr_e))
+    ucr = jnp.where(hr_e <= vs, 0.0, _safe_div(qcr_e, hr_e))
+
+    zbm = jnp.maximum(zl_e - hl_e, zr_e - hr_e)
+    hl = jnp.maximum(zl_e - zbm, 0.0)
+    hr = jnp.maximum(zr_e - zbm, 0.0)
+    zlr = hl + zbm
+    zrr = hr + zbm
+    qal_r = hl * ual
+    qcl_r = hl * ucl
+    qar_r = hr * uar
+    qcr_r = hr * ucr
+
+    return _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+                 ual, ucl, uar, ucr, qal_cell, qar_cell, vs)
+
+
+def _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+          ual, ucl, uar, ucr, qal_raw, qar_raw, vs) -> InterfaceFlux:
+    """Shared HLLC core on reconstructed states (shift-free datum)."""
+    g = GRAVITY
+
+    # Stopping conditions ("prevent draining from a dry cell").  The two
+    # interface-shared conditions plus each side's own outflow condition;
+    # shift-invariant so identical from either adjacent cell's perspective.
+    dry_l = hl <= vs
+    dry_r = hr <= vs
+    cond_shared = (dry_r & (ual < 0.0)) | (dry_l & (uar > 0.0))
+    stop_l = (dry_l & (qal_raw > 0.0)) | cond_shared
+    stop_r = (dry_r & (qar_raw < 0.0)) | cond_shared
+
+    # Velocities recomputed on reconstructed depths (strict < as in HLLC).
+    vl = jnp.where(hl < vs, 0.0, ual)
+    wl = jnp.where(hl < vs, 0.0, ucl)
+    vr = jnp.where(hr < vs, 0.0, uar)
+    wr = jnp.where(hr < vs, 0.0, ucr)
+
+    al = jnp.sqrt(g * hl)
+    ar = jnp.sqrt(g * hr)
+    a_avg = 0.5 * (al + ar)
+    h_star = (a_avg + 0.25 * (vl - vr)) ** 2 / g
+    u_star = 0.5 * (vl + vr) + al - ar
+    a_star = jnp.sqrt(g * h_star)
+
+    s_l = jnp.where(hl < vs, vr - 2.0 * ar,
+                    jnp.minimum(vl - al, u_star - a_star))
+    s_r = jnp.where(hr < vs, vl + 2.0 * al,
+                    jnp.maximum(vr + ar, u_star + a_star))
+    sm_den = hr * (vr - s_r) - hl * (vl - s_l)
+    s_m = _safe_div(s_l * hr * (vr - s_r) - s_r * hl * (vl - s_l), sm_den)
+
+    # Pressure term with the shift-free datum: 0.5 g (z^2 - 2 zb z).
+    p_l = 0.5 * g * (zlr * zlr - 2.0 * zbm * zlr)
+    p_r = 0.5 * g * (zrr * zrr - 2.0 * zbm * zrr)
+
+    fl_mass = qal_r
+    fl_along = vl * qal_r + p_l
+    fl_cross = vl * qcl_r
+    fr_mass = qar_r
+    fr_along = vr * qar_r + p_r
+    fr_cross = vr * qcr_r
+
+    sdiff = s_r - s_l
+    f1_m = _safe_div(s_r * fl_mass - s_l * fr_mass + s_l * s_r * (zrr - zlr),
+                     sdiff)
+    f2_m = _safe_div(s_r * fl_along - s_l * fr_along
+                     + s_l * s_r * (fr_mass - fl_mass), sdiff)
+
+    b_left = s_l >= 0.0
+    b_right = (s_l < 0.0) & (s_r < 0.0)
+    b_mid1 = (s_l < 0.0) & (s_r >= 0.0) & (s_m >= 0.0)
+    # middle-2 = remaining case; cross flux advected with the right velocity.
+
+    mass = jnp.where(b_left, fl_mass,
+                     jnp.where(b_right, fr_mass, f1_m))
+    along = jnp.where(b_left, fl_along,
+                      jnp.where(b_right, fr_along, f2_m))
+    cross = jnp.where(b_left, fl_cross,
+                      jnp.where(b_right, fr_cross,
+                                jnp.where(b_mid1, f1_m * wl, f1_m * wr)))
+
+    # Both sides dry: hydrostatic pressure only (both z's equal zbm here, but
+    # keep the reference's exact expression).
+    both_dry = (hl < vs) & (hr < vs)
+    zsum = zlr + zrr
+    dry_along = 0.5 * g * (0.25 * zsum * zsum - zbm * zsum)
+    mass = jnp.where(both_dry, 0.0, mass)
+    along = jnp.where(both_dry, dry_along, along)
+    cross = jnp.where(both_dry, 0.0, cross)
+
+    return InterfaceFlux(mass=mass, along=along, cross=cross, zbm=zbm,
+                         zl=zlr, zr=zrr, stop_l=stop_l, stop_r=stop_r)
+
+
+def shift_correction(z_cell, zbm, very_small=None):
+    """Per-cell datum shift s and its additive momentum-flux correction C(s).
+
+    s = max(0, zb_max(interface) - z_cell); C(s) = 0.5 g s (2 zb_max - s).
+    Adding C(s) to the shared ``along`` flux reproduces the reference's
+    shifted-datum flux exactly (see module docstring).
+    Returns (s, C).
+    """
+    s = jnp.maximum(zbm - z_cell, 0.0)
+    c = 0.5 * GRAVITY * s * (2.0 * zbm - s)
+    return s, c
