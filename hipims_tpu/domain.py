@@ -1,0 +1,124 @@
+"""Cartesian domain: geometry, static fields, initial state, edge treatment.
+
+The TPU-native equivalent of CDomainCartesian (reference:
+src/Domain/Cartesian/CDomainCartesian.cpp): a raster grid with bed
+elevation, Manning roughness, disabled-cell masking via the -9999 sentinel,
+and closed/open edge handling by raising a 9999.9 wall on the never-updated
+edge ring (reference: CDomainCartesian.cpp:773-799 imposeBoundaryModification).
+
+Unlike the reference (which leaves ``<domainEdge>`` parsing unimplemented and
+relies on uninitialised defaults), edges here are explicitly 'closed' unless
+configured 'open'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from . import constants as C
+from .state import DomainStatic, FlowState, make_initial_state
+
+EDGES = ("north", "east", "south", "west")
+
+
+@dataclasses.dataclass
+class Domain:
+    """Host-side description of one Cartesian simulation domain."""
+
+    zb: np.ndarray                       # bed elevation (rows, cols)
+    manning: np.ndarray
+    dx: float
+    dy: float
+    xll: float = 0.0                     # lower-left corner (world coords)
+    yll: float = 0.0
+    active: Optional[np.ndarray] = None  # False = disabled (-9999) cells
+    edge_treatment: dict = dataclasses.field(
+        default_factory=lambda: {e: "closed" for e in EDGES})
+
+    # Initial conditions (set via set_initial_*)
+    _depth: Optional[np.ndarray] = None
+    _fsl: Optional[np.ndarray] = None
+    _qx: Optional[np.ndarray] = None
+    _qy: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.zb = np.asarray(self.zb, dtype=np.float64)
+        if self.manning is None:
+            self.manning = np.zeros_like(self.zb)
+        elif np.isscalar(self.manning):
+            self.manning = np.full_like(self.zb, float(self.manning))
+        else:
+            self.manning = np.asarray(self.manning, dtype=np.float64)
+        if self.active is None:
+            # NODATA bed cells are disabled, as in the reference's
+            # handleInputData (src/Domain/CDomain.cpp:294-397).
+            self.active = self.zb > C.NODATA + 0.5
+
+    @property
+    def rows(self):
+        return self.zb.shape[0]
+
+    @property
+    def cols(self):
+        return self.zb.shape[1]
+
+    @property
+    def cell_count(self):
+        return self.zb.size
+
+    def set_initial_depth(self, depth):
+        self._depth = np.broadcast_to(np.asarray(depth, np.float64),
+                                      self.zb.shape)
+
+    def set_initial_fsl(self, fsl):
+        self._fsl = np.broadcast_to(np.asarray(fsl, np.float64),
+                                    self.zb.shape)
+
+    def set_initial_discharge(self, qx=None, qy=None):
+        if qx is not None:
+            self._qx = np.broadcast_to(np.asarray(qx, np.float64),
+                                       self.zb.shape)
+        if qy is not None:
+            self._qy = np.broadcast_to(np.asarray(qy, np.float64),
+                                       self.zb.shape)
+
+    def apply_edge_treatment(self):
+        """Raise bed walls on closed edges (reference:
+        CDomainCartesian.cpp:773-799).  'open' leaves the static edge ring
+        as-is, which acts as a fixed-state ghost row."""
+        zb = self.zb
+        if self.edge_treatment.get("north") == "closed":
+            zb[-1, :] = C.CLOSED_EDGE_ELEVATION
+        if self.edge_treatment.get("south") == "closed":
+            zb[0, :] = C.CLOSED_EDGE_ELEVATION
+        if self.edge_treatment.get("east") == "closed":
+            zb[:, -1] = C.CLOSED_EDGE_ELEVATION
+        if self.edge_treatment.get("west") == "closed":
+            zb[:, 0] = C.CLOSED_EDGE_ELEVATION
+
+    def build(self, dtype=np.float64, apply_edges=True):
+        """Materialise (FlowState, DomainStatic) device arrays.
+
+        Initial conditions are evaluated against the ORIGINAL bed, and only
+        then are closed-edge walls raised — matching the reference, where
+        applyDomainModifications runs in prepareSimulation after the initial
+        conditions load (src/Schemes/CSchemeGodunov.cpp:1057).  Wall cells
+        therefore end up deeply dry regardless of any initial depth placed
+        on them.
+        """
+        import jax.numpy as jnp
+
+        zb0 = jnp.asarray(self.zb, dtype=dtype)
+        state = make_initial_state(
+            zb0,
+            depth=self._depth, fsl=self._fsl,
+            qx=self._qx, qy=self._qy,
+            active=self.active, dtype=dtype)
+        if apply_edges:
+            self.apply_edge_treatment()
+        static = DomainStatic(zb=jnp.asarray(self.zb, dtype=dtype),
+                              manning=jnp.asarray(self.manning, dtype=dtype))
+        return state, static

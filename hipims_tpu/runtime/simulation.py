@@ -1,0 +1,192 @@
+"""Simulation master loop — the TPU-native CModel.
+
+The reference drives each domain with a persistent worker thread queueing
+batches of kernel launches, suspends devices at sync points via the
+negative-timestep trick, and polls busy flags from a host spin loop
+(reference: src/CModel.cpp:1041-1139 runModelMain;
+src/Schemes/CSchemeGodunov.cpp:1147-1369 Threaded_runBatch).
+
+Here a batch is a single jitted ``lax.scan`` of K steps: boundaries ->
+scheme step -> CFL reduce -> time controller, with the same negative-dt
+suspension making overshooting steps idle.  The host loop only reads back
+three scalars per batch (t, dt, counters), mirroring the reference's
+readKeyStatistics, and sizes the next batch toward a wall-clock target
+exactly like the reference's adaptive queue
+(src/Schemes/CSchemeGodunov.cpp:1419-1448).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..domain import Domain
+from ..models import Scheme, get_scheme
+from ..ops.boundaries import apply_boundaries
+from ..ops.godunov import SchemeParams
+from ..ops.timestep import TimestepParams, advance, max_wave_speed
+from ..state import DomainStatic, FlowState, StepCarry, initial_carry
+
+
+@dataclasses.dataclass
+class SimulationConfig:
+    """Run configuration (reference: <simulation> parameters,
+    src/CModel.cpp:65-133, and per-scheme <parameter>s,
+    src/Schemes/CSchemeGodunov.cpp:113-338)."""
+
+    scheme: str = "godunov"
+    duration: float = 3600.0
+    output_frequency: float = 600.0
+    courant: float = 0.5
+    initial_timestep: float = 0.01
+    timestep_mode: str = "cfl"          # "cfl" | "fixed"
+    fixed_timestep: float = 0.1
+    friction: bool = True
+    dry_threshold: float = C.VERY_SMALL
+    dtype: str = "float64"              # "float32" | "float64"
+    batch_size: int = 64                # steps per device round-trip
+    batch_auto: bool = True             # adapt batch toward target seconds
+    batch_target_seconds: float = 0.5
+    sync_tolerance: float = 1e-5        # output-time match tolerance
+
+
+class Simulation:
+    """Single-domain simulation driver."""
+
+    def __init__(self, domain: Domain, config: SimulationConfig,
+                 boundaries: Sequence = (),
+                 output_writer: Optional[Callable] = None):
+        self.domain = domain
+        self.config = config
+        self.boundaries = tuple(boundaries)
+        self.output_writer = output_writer
+        self.scheme: Scheme = get_scheme(config.scheme)
+
+        dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+        self.dtype = dtype
+        self.state, self.static = domain.build(dtype=dtype)
+        self.carry = initial_carry(dtype, dt0=config.initial_timestep)
+
+        self.params = SchemeParams(
+            dx=domain.dx, dy=domain.dy,
+            very_small=config.dry_threshold,
+            quite_small=config.dry_threshold * 10.0,
+            friction=config.friction)
+        self.ts_params = TimestepParams(
+            courant=config.courant,
+            dynamic=(config.timestep_mode == "cfl"),
+            fixed_dt=config.fixed_timestep,
+            simplified_speed=self.scheme.simplified_speed)
+
+        self._run_batch = self._build_run_batch()
+        self._batch_size = max(1, int(config.batch_size))
+        self.total_steps = 0
+        self.total_skipped = 0
+        self.wall_start = None
+
+    # ------------------------------------------------------------------
+    def _build_run_batch(self):
+        scheme_step = self.scheme.step
+        params = self.params
+        ts_params = self.ts_params
+        boundaries_static = self.boundaries
+        end_time = self.config.duration
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("state", "carry"))
+        def run_batch(state: FlowState, carry: StepCarry,
+                      static: DomainStatic, sync_time, n_steps: int):
+            def body(sc, _):
+                state, carry = sc
+                state = apply_boundaries(boundaries_static, state, static,
+                                         carry.t, carry.dt, carry.t_hydro,
+                                         params)
+                state = scheme_step(state, static, carry.dt, params)
+                speed = max_wave_speed(state.z, state.zmax, state.qx,
+                                       state.qy, static.zb,
+                                       params.quite_small,
+                                       ts_params.simplified_speed)
+                carry = advance(carry, speed, sync_time, end_time,
+                                params.dx, ts_params)
+                return (state, carry), None
+
+            (state, carry), _ = jax.lax.scan(body, (state, carry),
+                                             length=n_steps)
+            return state, carry
+
+        return run_batch
+
+    # ------------------------------------------------------------------
+    def run_to(self, target_time: float, progress: Optional[Callable] = None):
+        """Advance the simulation until the clock reaches target_time."""
+        tol = self.config.sync_tolerance
+        sync = jnp.asarray(target_time, dtype=self.dtype)
+        while True:
+            t_now = float(self.carry.t)
+            if t_now >= target_time - tol:
+                break
+            t0 = time.perf_counter()
+            self.state, self.carry = self._run_batch(
+                self.state, self.carry, self.static, sync,
+                n_steps=self._batch_size)
+            # One host sync per batch (reference: readKeyStatistics).
+            t_new = float(self.carry.t)
+            elapsed = time.perf_counter() - t0
+            self.total_steps = int(self.carry.batch_successful)
+            self.total_skipped = int(self.carry.batch_skipped)
+            if progress is not None:
+                progress(self, t_new, elapsed)
+            if self.config.batch_auto:
+                self._adapt_batch(elapsed)
+            if t_new <= t_now and float(self.carry.dt) <= 0.0 \
+                    and t_new < target_time - tol:
+                raise RuntimeError(
+                    f"Simulation stalled at t={t_new:.6f}s "
+                    f"(dt={float(self.carry.dt):.3e})")
+
+    def _adapt_batch(self, elapsed: float):
+        """Size batches toward the wall-clock target, like the reference's
+        adaptive queue (src/Schemes/CSchemeGodunov.cpp:1419-1448) but
+        restricted to powers of two so jit caching stays bounded."""
+        target = self.config.batch_target_seconds
+        if elapsed < target / 2 and self._batch_size < 4096:
+            self._batch_size *= 2
+        elif elapsed > target * 2 and self._batch_size > 8:
+            self._batch_size //= 2
+
+    # ------------------------------------------------------------------
+    def run(self, progress: Optional[Callable] = None):
+        """Full run with outputs at every output_frequency interval."""
+        cfg = self.config
+        self.wall_start = time.monotonic()
+        n_outputs = int(round(cfg.duration / cfg.output_frequency))
+        for i in range(1, n_outputs + 1):
+            target = min(i * cfg.output_frequency, cfg.duration)
+            self.run_to(target, progress=progress)
+            if self.output_writer is not None:
+                self.output_writer(self, target)
+        if float(self.carry.t) < cfg.duration - cfg.sync_tolerance:
+            self.run_to(cfg.duration, progress=progress)
+            if self.output_writer is not None:
+                self.output_writer(self, cfg.duration)
+        return self.state
+
+    # ------------------------------------------------------------------
+    @property
+    def t(self) -> float:
+        return float(self.carry.t)
+
+    def depth(self) -> np.ndarray:
+        h = np.asarray(self.state.z) - np.asarray(self.static.zb)
+        h[np.asarray(self.state.zmax) <= C.NODATA] = 0.0
+        return np.maximum(h, 0.0)
+
+    def volume(self) -> float:
+        return float(self.depth().sum() * self.domain.dx * self.domain.dy)
