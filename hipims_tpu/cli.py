@@ -1,0 +1,80 @@
+"""Console entry point — the TPU-native equivalent of the reference's
+main.cpp (argument parsing, config load, run, progress UI;
+reference: src/main.cpp:59-159, 376-459, 464-579).
+
+Usage:
+    python -m hipims_tpu --config-file model.xml [--quiet] [--mesh N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="hipims-tpu",
+        description="TPU-native 2D shallow-water flood simulator")
+    ap.add_argument("--config-file", "-c", required=True,
+                    help="XML configuration file (HiPIMS schema)")
+    ap.add_argument("--log-file", "-l", default=None)
+    ap.add_argument("--quiet-mode", "-q", action="store_true")
+    ap.add_argument("--disable-screen", "-n", action="store_true",
+                    help="plain line-by-line progress output")
+    ap.add_argument("--mesh", type=int, default=None,
+                    help="shard over this many devices (2-D mesh)")
+    ap.add_argument("--mesh-shape", default=None,
+                    help="explicit mesh shape, e.g. 2x4")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from .io.xml_config import load_config
+    from .utils.logging import Logger
+    from .runtime.progress import ProgressReporter
+
+    log = Logger(path=args.log_file, quiet=args.quiet_mode)
+    log.block("Model configuration")
+    model = load_config(args.config_file)
+    log.line(f"  Name:        {model.name}")
+    log.line(f"  Scheme:      {model.config.scheme}")
+    log.line(f"  Duration:    {model.config.duration:.0f} s")
+    log.line(f"  Output freq: {model.config.output_frequency:.0f} s")
+    log.line(f"  Grid:        {model.domain.rows} x {model.domain.cols} "
+             f"@ {model.domain.dx} m")
+    log.line(f"  Precision:   {model.config.dtype}")
+
+    mesh = None
+    if args.mesh or args.mesh_shape:
+        from .parallel import make_mesh
+        shape = None
+        if args.mesh_shape:
+            a, b = args.mesh_shape.lower().split("x")
+            shape = (int(a), int(b))
+        mesh = make_mesh(args.mesh, shape=shape)
+        log.line(f"  Mesh:        {mesh.devices.shape} "
+                 f"({mesh.devices.size} devices)")
+
+    sim = model.simulation(mesh=mesh)
+    reporter = ProgressReporter(log, sim, quiet=args.quiet_mode)
+
+    log.block("Simulation")
+    t0 = time.monotonic()
+    try:
+        sim.run(progress=reporter)
+    except KeyboardInterrupt:
+        log.line("Interrupted — writing final state")
+        if sim.output_writer is not None:
+            sim.output_writer(sim, sim.t)
+        return 2
+    wall = time.monotonic() - t0
+    reporter.final(wall)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

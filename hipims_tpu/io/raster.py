@@ -1,0 +1,316 @@
+"""Raster read/write without GDAL.
+
+Formats:
+  * ESRI ASCII grid (.asc)        — read + write
+  * GeoTIFF (.tif/.tiff)          — read (uncompressed/deflate strips or
+                                    tiles) + write (uncompressed strips,
+                                    float32/float64, GeoTIFF georeferencing
+                                    + GDAL nodata tag)
+  * Erdas Imagine HFA (.img)      — read via io.hfa (subset)
+
+Replaces the reference's CRasterDataset GDAL wrapper
+(src/Datasets/CRasterDataset.cpp:73-315 read, :101-290 write).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Raster:
+    """A single-band georeferenced grid in map orientation (row 0 = north)."""
+
+    data: np.ndarray
+    xll: float = 0.0            # lower-left corner x
+    yll: float = 0.0            # lower-left corner y
+    cell_size: float = 1.0
+    nodata: Optional[float] = -9999.0
+
+    @property
+    def rows(self):
+        return self.data.shape[0]
+
+    @property
+    def cols(self):
+        return self.data.shape[1]
+
+    def to_domain_array(self) -> np.ndarray:
+        """Domain orientation: row 0 = south (reference bottom-up flip,
+        src/Datasets/CRasterDataset.cpp applyDataToDomain)."""
+        return np.ascontiguousarray(self.data[::-1, :])
+
+    @classmethod
+    def from_domain_array(cls, arr, xll=0.0, yll=0.0, cell_size=1.0,
+                          nodata=-9999.0) -> "Raster":
+        return cls(data=np.ascontiguousarray(np.asarray(arr)[::-1, :]),
+                   xll=xll, yll=yll, cell_size=cell_size, nodata=nodata)
+
+
+# ---------------------------------------------------------------- ASC ----
+
+def _read_asc(path: Path) -> Raster:
+    header = {}
+    data_start = 0
+    with open(path) as f:
+        lines = f.readlines()
+    for i, line in enumerate(lines):
+        parts = line.split()
+        if len(parts) == 2 and parts[0].lower() in (
+                "ncols", "nrows", "xllcorner", "yllcorner", "cellsize",
+                "nodata_value", "xllcenter", "yllcenter"):
+            header[parts[0].lower()] = float(parts[1])
+        else:
+            data_start = i
+            break
+    rows = int(header["nrows"])
+    cols = int(header["ncols"])
+    data = np.loadtxt(lines[data_start:]).reshape(rows, cols)
+    cs = header.get("cellsize", 1.0)
+    xll = header.get("xllcorner", header.get("xllcenter", 0.0)
+                    - cs / 2 if "xllcenter" in header else 0.0)
+    yll = header.get("yllcorner", header.get("yllcenter", 0.0)
+                    - cs / 2 if "yllcenter" in header else 0.0)
+    return Raster(data=data, xll=xll, yll=yll, cell_size=cs,
+                  nodata=header.get("nodata_value", -9999.0))
+
+
+def _write_asc(path: Path, raster: Raster):
+    with open(path, "w") as f:
+        f.write(f"ncols {raster.cols}\n")
+        f.write(f"nrows {raster.rows}\n")
+        f.write(f"xllcorner {raster.xll}\n")
+        f.write(f"yllcorner {raster.yll}\n")
+        f.write(f"cellsize {raster.cell_size}\n")
+        f.write(f"NODATA_value {raster.nodata}\n")
+        np.savetxt(f, raster.data, fmt="%.6f")
+
+
+# ------------------------------------------------------------- GeoTIFF ----
+
+_TIFF_TYPES = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
+               5: ("II", 8), 11: ("f", 4), 12: ("d", 8), 16: ("Q", 8),
+               17: ("q", 8), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8)}
+
+TAG_WIDTH, TAG_HEIGHT = 256, 257
+TAG_BITS, TAG_COMPRESSION, TAG_PHOTOMETRIC = 258, 259, 262
+TAG_STRIP_OFFSETS, TAG_SAMPLES_PER_PIXEL = 273, 277
+TAG_ROWS_PER_STRIP, TAG_STRIP_BYTECOUNTS = 278, 279
+TAG_PLANAR = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH, TAG_TILE_HEIGHT = 322, 323
+TAG_TILE_OFFSETS, TAG_TILE_BYTECOUNTS = 324, 325
+TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT = 33550, 33922
+TAG_GDAL_NODATA = 42113
+
+
+def _read_tiff(path: Path) -> Raster:
+    buf = open(path, "rb").read()
+    endian = buf[:2]
+    if endian == b"II":
+        e = "<"
+    elif endian == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, ifd_off = struct.unpack(e + "HI", buf[2:8])
+    if magic != 42:
+        raise ValueError(f"{path}: unsupported TIFF magic {magic}")
+
+    tags = {}
+    (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack(e + "HHI", buf[off:off + 8])
+        fmt, size = _TIFF_TYPES.get(typ, ("B", 1))
+        total = size * count
+        if total <= 4:
+            raw = buf[off + 8:off + 8 + total]
+        else:
+            (ptr,) = struct.unpack(e + "I", buf[off + 8:off + 12])
+            raw = buf[ptr:ptr + total]
+        if typ == 2:
+            tags[tag] = raw.rstrip(b"\0").decode("ascii", "replace")
+        elif typ in (5, 10):
+            vals = struct.unpack(e + "II" * count, raw)
+            tags[tag] = [vals[2 * k] / max(vals[2 * k + 1], 1)
+                         for k in range(count)]
+        else:
+            tags[tag] = list(struct.unpack(e + fmt * count, raw))
+
+    width = tags[TAG_WIDTH][0]
+    height = tags[TAG_HEIGHT][0]
+    bits = tags.get(TAG_BITS, [32])[0]
+    comp = tags.get(TAG_COMPRESSION, [1])[0]
+    fmt_code = tags.get(TAG_SAMPLE_FORMAT, [3])[0]
+    if tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
+        raise ValueError("only single-band TIFFs supported")
+
+    if fmt_code == 3:
+        dt = {32: np.float32, 64: np.float64}[bits]
+    elif fmt_code == 2:
+        dt = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+    else:
+        dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+    dt = np.dtype(dt).newbyteorder(e)
+
+    def decode(chunk):
+        if comp == 1:
+            return chunk
+        if comp in (8, 32946):          # deflate
+            return zlib.decompress(chunk)
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    if TAG_TILE_OFFSETS in tags:
+        tw = tags[TAG_TILE_WIDTH][0]
+        th = tags[TAG_TILE_HEIGHT][0]
+        data = np.zeros((height, width), dtype=dt)
+        tiles_x = -(-width // tw)
+        offs = tags[TAG_TILE_OFFSETS]
+        cnts = tags[TAG_TILE_BYTECOUNTS]
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(idx, tiles_x)
+            tile = np.frombuffer(decode(buf[o:o + c]), dtype=dt)
+            tile = tile[:tw * th].reshape(th, tw)
+            y0, x0 = ty * th, tx * tw
+            data[y0:y0 + th, x0:x0 + tw] = tile[
+                :min(th, height - y0), :min(tw, width - x0)]
+    else:
+        rps = tags.get(TAG_ROWS_PER_STRIP, [height])[0]
+        offs = tags[TAG_STRIP_OFFSETS]
+        cnts = tags.get(TAG_STRIP_BYTECOUNTS,
+                        [width * rps * dt.itemsize] * len(offs))
+        parts = []
+        for o, c in zip(offs, cnts):
+            parts.append(np.frombuffer(decode(buf[o:o + c]), dtype=dt))
+        data = np.concatenate(parts)[:height * width].reshape(height, width)
+
+    if tags.get(TAG_PREDICTOR, [1])[0] != 1:
+        raise ValueError("TIFF predictor not supported")
+
+    cell = tags.get(TAG_MODEL_PIXEL_SCALE, [1.0, 1.0])[0]
+    tie = tags.get(TAG_MODEL_TIEPOINT, [0.0] * 6)
+    # Tiepoint maps raster (0,0) [top-left] to world (tie[3], tie[4]).
+    xul, yul = tie[3], tie[4]
+    nodata = tags.get(TAG_GDAL_NODATA)
+    nodata = float(nodata) if nodata is not None else None
+    return Raster(data=np.ascontiguousarray(data.astype(data.dtype.newbyteorder("="))),
+                  xll=xul, yll=yul - height * cell, cell_size=cell,
+                  nodata=nodata)
+
+
+def _write_tiff(path: Path, raster: Raster):
+    data = np.ascontiguousarray(raster.data, dtype=np.float32)
+    height, width = data.shape
+    pix = data.tobytes()
+
+    entries = []          # (tag, type, count, value-bytes or int)
+    extra = b""
+    header_size = 8
+    nodata_s = (f"{raster.nodata}".encode() + b"\0"
+                if raster.nodata is not None else None)
+
+    def add(tag, typ, count, payload_or_val):
+        entries.append((tag, typ, count, payload_or_val))
+
+    # Layout: header | IFD | extra values | pixel data.
+    # First pass with placeholders to compute sizes.
+    n_tags = 12 + (1 if nodata_s else 0)
+    ifd_size = 2 + n_tags * 12 + 4
+    extra_off = header_size + ifd_size
+
+    extras = {}
+
+    def alloc(payload: bytes) -> int:
+        nonlocal extra
+        off = extra_off + len(extra)
+        extra += payload
+        return off
+
+    scale = struct.pack("<3d", raster.cell_size, raster.cell_size, 0.0)
+    yul = raster.yll + height * raster.cell_size
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, raster.xll, yul, 0.0)
+
+    extras[TAG_MODEL_PIXEL_SCALE] = alloc(scale)
+    extras[TAG_MODEL_TIEPOINT] = alloc(tie)
+    if nodata_s:
+        extras[TAG_GDAL_NODATA] = alloc(nodata_s)
+
+    pix_off = extra_off + len(extra)
+
+    add(TAG_WIDTH, 4, 1, width)
+    add(TAG_HEIGHT, 4, 1, height)
+    add(TAG_BITS, 3, 1, 32)
+    add(TAG_COMPRESSION, 3, 1, 1)
+    add(TAG_PHOTOMETRIC, 3, 1, 1)
+    add(TAG_STRIP_OFFSETS, 4, 1, pix_off)
+    add(TAG_SAMPLES_PER_PIXEL, 3, 1, 1)
+    add(TAG_ROWS_PER_STRIP, 4, 1, height)
+    add(TAG_STRIP_BYTECOUNTS, 4, 1, len(pix))
+    add(TAG_SAMPLE_FORMAT, 3, 1, 3)
+    add(TAG_MODEL_PIXEL_SCALE, 12, 3, extras[TAG_MODEL_PIXEL_SCALE])
+    add(TAG_MODEL_TIEPOINT, 12, 6, extras[TAG_MODEL_TIEPOINT])
+    if nodata_s:
+        add(TAG_GDAL_NODATA, 2, len(nodata_s), extras[TAG_GDAL_NODATA])
+
+    entries.sort(key=lambda t: t[0])
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        fmt, size = _TIFF_TYPES[typ]
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", val, 0)
+        elif typ == 4 and count == 1:
+            out += struct.pack("<I", val)
+        else:
+            out += struct.pack("<I", val)   # offset into extras
+    out += struct.pack("<I", 0)             # next IFD
+    out += extra
+    out += pix
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ------------------------------------------------------------ dispatch ----
+
+def read_raster(path) -> Raster:
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".asc":
+        return _read_asc(path)
+    if suffix in (".tif", ".tiff"):
+        return _read_tiff(path)
+    if suffix == ".img":
+        from .hfa import read_hfa
+        return read_hfa(path)
+    # Sniff by magic.
+    with open(path, "rb") as f:
+        magic = f.read(16)
+    if magic[:2] in (b"II", b"MM"):
+        return _read_tiff(path)
+    if magic.startswith(b"EHFA_HEADER_TAG"):
+        from .hfa import read_hfa
+        return read_hfa(path)
+    return _read_asc(path)
+
+
+def write_raster(path, raster: Raster, fmt: Optional[str] = None):
+    path = Path(path)
+    fmt = (fmt or path.suffix.lstrip(".")).lower()
+    if fmt in ("asc", "aaigrid"):
+        _write_asc(path, raster)
+    elif fmt in ("tif", "tiff", "gtiff", "hfa", "img"):
+        # HFA output requests are honoured as GeoTIFF (no HFA writer);
+        # keep the requested filename.
+        _write_tiff(path, raster)
+    else:
+        raise ValueError(f"unsupported raster output format '{fmt}'")

@@ -1,0 +1,291 @@
+"""HiPIMS XML configuration loader.
+
+Parses the reference's configuration schema (see
+/root/reference/README.md:52-99 and src/Datasets/CXMLDataset.cpp:115-239;
+scheme parameters src/Schemes/CSchemeGodunov.cpp:113-338; boundary
+attributes src/Boundaries/CBoundaryCell.cpp:60-100,
+CBoundaryUniform.cpp:59-62) into framework objects, so existing HiPIMS
+model configurations run unmodified.
+
+Unlike the reference, ``<domainEdge>`` is actually honoured (the reference
+declares but never parses it — SURVEY.md "known quirks").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ..domain import Domain
+from ..ops import boundaries as B
+from ..runtime.output import RasterOutputWriter
+from ..runtime.simulation import Simulation, SimulationConfig
+from .csv_series import read_timeseries_csv, series_interval, series_length
+from .raster import read_raster
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    name: str
+    description: str
+    domain: Domain
+    config: SimulationConfig
+    boundaries: list
+    output_targets: list
+    target_dir: str
+
+    def simulation(self, mesh=None) -> Simulation:
+        writer = None
+        if self.output_targets:
+            writer = RasterOutputWriter(self.output_targets,
+                                        self.target_dir, self.domain)
+        return Simulation(self.domain, self.config,
+                          boundaries=self.boundaries,
+                          output_writer=writer, mesh=mesh)
+
+
+def _params_of(el) -> dict:
+    out = {}
+    for p in el.findall("parameter"):
+        out[p.get("name", "").strip().lower()] = p.get("value", "").strip()
+    return out
+
+
+def load_config(path) -> LoadedModel:
+    path = Path(path)
+    base = path.parent
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    meta = root.find("metadata")
+    name = meta.findtext("name", "") if meta is not None else ""
+    desc = meta.findtext("description", "") if meta is not None else ""
+
+    sim_el = root.find("simulation")
+    if sim_el is None:
+        raise ValueError(f"{path}: missing <simulation>")
+    sim_params = _params_of(sim_el)
+
+    cfg = SimulationConfig()
+    cfg.duration = float(sim_params.get("duration", 3600.0))
+    cfg.output_frequency = float(sim_params.get("outputfrequency",
+                                                cfg.duration))
+    precision = sim_params.get("floatingpointprecision", "double").lower()
+    cfg.dtype = "float64" if precision in ("double", "float64") else "float32"
+
+    dom_el = sim_el.find("domainSet/domain")
+    if dom_el is None:
+        raise ValueError(f"{path}: missing <domain>")
+
+    data_el = dom_el.find("data")
+    source_dir = base / (data_el.get("sourceDir", "") if data_el is not None
+                         else "")
+    target_dir = base / (data_el.get("targetDir", "output")
+                         if data_el is not None else "output")
+
+    # ---- data sources ------------------------------------------------
+    structure = None
+    constants = {}
+    rasters = {}
+    targets = []
+    if data_el is not None:
+        for src in data_el.findall("dataSource"):
+            values = [v.strip().lower()
+                      for v in src.get("value", "").split(",")]
+            kind = src.get("type", "raster").strip().lower()
+            sval = src.get("source", "")
+            for v in values:
+                if kind == "constant":
+                    constants[v] = float(sval)
+                else:
+                    rast = read_raster(source_dir / sval)
+                    rasters[v] = rast
+                    if v in ("structure", "dem"):
+                        structure = rast
+        for tgt in data_el.findall("dataTarget"):
+            targets.append(dict(
+                value=tgt.get("value", "depth").strip().lower(),
+                format=tgt.get("format", "GTiff").strip().lower(),
+                target=tgt.get("target", "out_%t.tif")))
+
+    if structure is None:
+        raise ValueError(f"{path}: no structure/dem raster source")
+
+    zb = structure.to_domain_array().astype(np.float64)
+    nodata = structure.nodata if structure.nodata is not None else -9999.0
+    active = ~np.isclose(zb, nodata)
+    manning = constants.get("manningcoefficient", 0.0)
+    if "manningcoefficient" in rasters:
+        manning = rasters["manningcoefficient"].to_domain_array()
+
+    domain = Domain(zb=zb, manning=manning,
+                    dx=structure.cell_size, dy=structure.cell_size,
+                    xll=structure.xll, yll=structure.yll, active=active)
+
+    if "depth" in rasters:
+        domain.set_initial_depth(rasters["depth"].to_domain_array())
+    elif "depth" in constants:
+        domain.set_initial_depth(constants["depth"])
+    if "fsl" in rasters:
+        domain.set_initial_fsl(rasters["fsl"].to_domain_array())
+    elif "fsl" in constants:
+        domain.set_initial_fsl(constants["fsl"])
+
+    # Initial velocity -> discharge conversion (reference:
+    # src/Domain/CDomain.cpp handleInputData velocity cases).
+    depth0 = None
+    if domain._depth is not None:
+        depth0 = np.asarray(domain._depth)
+    elif domain._fsl is not None:
+        depth0 = np.maximum(np.asarray(domain._fsl) - zb, 0.0)
+    for comp, setter in (("x", "qx"), ("y", "qy")):
+        vel = constants.get(f"velocity{comp}")
+        if f"velocity{comp}" in rasters:
+            vel = rasters[f"velocity{comp}"].to_domain_array()
+        if vel is not None and depth0 is not None:
+            q = np.asarray(vel) * depth0
+            domain.set_initial_discharge(**{setter: q})
+        dis = constants.get(f"discharge{comp}")
+        if f"discharge{comp}" in rasters:
+            dis = rasters[f"discharge{comp}"].to_domain_array()
+        if dis is not None:
+            domain.set_initial_discharge(
+                **{setter: np.broadcast_to(np.asarray(dis), zb.shape)})
+
+    # ---- scheme ------------------------------------------------------
+    scheme_el = dom_el.find("scheme")
+    if scheme_el is not None:
+        cfg.scheme = scheme_el.get("name", "godunov").strip().lower()
+        if cfg.scheme == "muscl-hancock" or cfg.scheme == "musclhancock":
+            cfg.scheme = "muscl-hancock"
+        sp = _params_of(scheme_el)
+        cfg.courant = float(sp.get("courantnumber", cfg.courant))
+        if "drythreshold" in sp:
+            cfg.dry_threshold = float(sp["drythreshold"])
+        mode = sp.get("timestepmode", "cfl").lower()
+        cfg.timestep_mode = "fixed" if mode == "fixed" else "cfl"
+        if "timestepinitial" in sp:
+            cfg.initial_timestep = float(sp["timestepinitial"])
+        if "timestepfixed" in sp:
+            cfg.fixed_timestep = float(sp["timestepfixed"])
+            cfg.timestep_mode = "fixed"
+        fric = sp.get("frictioneffects", "yes").lower()
+        cfg.friction = fric not in ("no", "off", "false", "0")
+        if "queuesize" in sp:
+            cfg.batch_size = max(1, int(float(sp["queuesize"])))
+            cfg.batch_auto = False
+        if sp.get("queuemode", "").lower() == "fixed":
+            cfg.batch_auto = False
+
+    # ---- boundaries --------------------------------------------------
+    bounds: List = []
+    bc_el = dom_el.find("boundaryConditions")
+    if bc_el is not None:
+        bc_dir = base / bc_el.get("sourceDir", "")
+        shared_map = bc_el.get("mapFile")
+        for edge_el in bc_el.findall("domainEdge"):
+            edge = edge_el.get("edge", "").strip().lower()
+            treatment = edge_el.get("treatment", "closed").strip().lower()
+            if edge in domain.edge_treatment:
+                domain.edge_treatment[edge] = treatment
+        for ts in bc_el.findall("timeseries"):
+            bounds.append(_parse_timeseries(ts, bc_dir, shared_map, domain))
+
+    return LoadedModel(name=name, description=desc, domain=domain,
+                       config=cfg, boundaries=[b for b in bounds if b],
+                       output_targets=targets, target_dir=str(target_dir))
+
+
+def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
+                      domain: Domain):
+    kind = (ts.get("type") or "").strip().lower()
+    value = (ts.get("value") or "").strip().lower()
+    source = ts.get("source") or ""
+    name = ts.get("name") or source
+
+    if kind in ("atmospheric", "uniform"):
+        series = read_timeseries_csv(bc_dir / source, n_cols=2)
+        return B.UniformBoundary(
+            values=series[:, 1],
+            interval=series_interval(series),
+            length=series_length(series),
+            is_loss=(value in ("loss-rate", "loss")))
+
+    if kind in ("cell", "flow", "flowconditions"):
+        series = read_timeseries_csv(bc_dir / source, n_cols=4)
+        map_file = ts.get("mapFile") or shared_map
+        if map_file is None:
+            raise ValueError(f"cell boundary '{name}' needs a map file")
+        cells = _read_cell_map(bc_dir / map_file, name)
+        rows, cols = _world_to_cells(cells, domain)
+        depth_val = (ts.get("depthValue") or "fsl").strip().lower()
+        dis_val = (ts.get("dischargeValue") or "total").strip().lower()
+        depth_mode = {"fsl": B.DEPTH_IS_FSL, "depth": B.DEPTH_IS_DEPTH,
+                      "ignore": B.DEPTH_IGNORE, "disabled": B.DEPTH_IGNORE,
+                      "critical": B.DEPTH_IS_CRITICAL}.get(depth_val,
+                                                           B.DEPTH_IS_FSL)
+        dmode = {"total": B.DISCHARGE_IS_DISCHARGE,
+                 "cell": B.DISCHARGE_IS_DISCHARGE,
+                 "velocity": B.DISCHARGE_IS_VELOCITY,
+                 "ignore": B.DISCHARGE_IGNORE,
+                 "disabled": B.DISCHARGE_IGNORE,
+                 "volume": B.DISCHARGE_IS_VOLUME,
+                 "surging": B.DISCHARGE_IS_VOLUME}.get(dis_val,
+                                                       B.DISCHARGE_IS_DISCHARGE)
+        series = series.copy()
+        if dis_val == "total" and len(rows):
+            series[:, 2] /= len(rows)   # host-side division, reference
+            series[:, 3] /= len(rows)   # CBoundaryCell.cpp:345-355
+        return B.CellBoundary(rows=np.asarray(rows, np.int32),
+                              cols=np.asarray(cols, np.int32),
+                              series=series,
+                              interval=series_interval(series),
+                              length=series_length(series),
+                              depth_mode=depth_mode, discharge_mode=dmode)
+
+    if kind in ("gridded", "spatially-varying"):
+        raise NotImplementedError(
+            "gridded boundary from config requires a raster series; use "
+            "GriddedBoundary directly")
+
+    raise ValueError(f"unknown timeseries type '{kind}'")
+
+
+def _read_cell_map(path: Path, name: str):
+    """(x, y[, name]) world-coordinate rows for one named boundary
+    (reference: CBoundaryCell::importMap, CBoundaryCell.cpp:232-296)."""
+    import csv
+    cells = []
+    with open(path, newline="") as f:
+        for rec in csv.reader(f):
+            rec = [c.strip() for c in rec if c.strip() != ""]
+            if len(rec) < 2:
+                continue
+            try:
+                x, y = float(rec[0]), float(rec[1])
+            except ValueError:
+                continue
+            if len(rec) >= 3 and rec[2] != name:
+                continue
+            cells.append((x, y))
+    return cells
+
+
+def _world_to_cells(cells, domain: Domain):
+    rows, cols = [], []
+    for x, y in cells:
+        ci = int((x - domain.xll) / domain.dx)
+        ri = int((y - domain.yll) / domain.dy)
+        if 0 <= ri < domain.rows and 0 <= ci < domain.cols:
+            rows.append(ri)
+            cols.append(ci)
+    return rows, cols
+
+
+def build_simulation(path, mesh=None) -> Simulation:
+    return load_config(path).simulation(mesh=mesh)

@@ -62,17 +62,26 @@ class Simulation:
 
     def __init__(self, domain: Domain, config: SimulationConfig,
                  boundaries: Sequence = (),
-                 output_writer: Optional[Callable] = None):
+                 output_writer: Optional[Callable] = None,
+                 mesh=None):
         self.domain = domain
         self.config = config
         self.boundaries = tuple(boundaries)
         self.output_writer = output_writer
         self.scheme: Scheme = get_scheme(config.scheme)
+        self.mesh = mesh
 
         dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.dtype = dtype
         self.state, self.static = domain.build(dtype=dtype)
         self.carry = initial_carry(dtype, dt0=config.initial_timestep)
+        if mesh is not None:
+            # 2-D grid sharding; XLA inserts the halo collectives for the
+            # stencil shifts and all-reduces the CFL max (the TPU analogue
+            # of the reference's link exchange + MPI_Allreduce(MIN)).
+            from ..parallel.mesh import shard_simulation_arrays
+            self.state, self.static = shard_simulation_arrays(
+                mesh, self.state, self.static)
 
         self.params = SchemeParams(
             dx=domain.dx, dy=domain.dy,

@@ -1,0 +1,44 @@
+"""Timestamped console + file logging.
+
+Replaces CLog (reference: src/General/CLog.cpp:30-120): timestamped lines,
+titled blocks, mirrored to a log file when configured.  ANSI colour instead
+of ncurses.
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+
+
+class Logger:
+    def __init__(self, path=None, quiet=False, color=None):
+        self.quiet = quiet
+        self.file = open(path, "a") if path else None
+        self.color = (sys.stdout.isatty() if color is None else color)
+
+    def _stamp(self):
+        return datetime.datetime.now().strftime("%H:%M:%S")
+
+    def line(self, msg="", error=False):
+        text = f"[{self._stamp()}] {msg}"
+        if self.file:
+            self.file.write(text + "\n")
+            self.file.flush()
+        if not self.quiet or error:
+            stream = sys.stderr if error else sys.stdout
+            if error and self.color:
+                text = f"\033[91m{text}\033[0m"
+            print(text, file=stream, flush=True)
+
+    def block(self, title):
+        bar = "-" * 60
+        if self.color and not self.quiet:
+            print(f"\033[96m{bar}\n {title}\n{bar}\033[0m", flush=True)
+        elif not self.quiet:
+            print(f"{bar}\n {title}\n{bar}", flush=True)
+        if self.file:
+            self.file.write(f"{bar}\n {title}\n{bar}\n")
+
+    def error(self, msg):
+        self.line(f"ERROR: {msg}", error=True)

@@ -1,0 +1,147 @@
+"""Raster/CSV/XML I/O round-trips and config loading."""
+
+import numpy as np
+import pytest
+
+from hipims_tpu.io.csv_series import (read_timeseries_csv, series_interval,
+                                      series_length)
+from hipims_tpu.io.raster import Raster, read_raster, write_raster
+
+
+def test_asc_roundtrip(tmp_path):
+    data = np.random.default_rng(0).uniform(0, 10, (12, 17))
+    r = Raster(data=data, xll=1000.0, yll=2000.0, cell_size=2.0,
+               nodata=-9999.0)
+    p = tmp_path / "t.asc"
+    write_raster(p, r)
+    r2 = read_raster(p)
+    np.testing.assert_allclose(r2.data, data, atol=1e-6)
+    assert r2.xll == 1000.0 and r2.yll == 2000.0 and r2.cell_size == 2.0
+
+
+def test_tiff_roundtrip(tmp_path):
+    data = np.random.default_rng(1).uniform(-5, 5, (33, 65)).astype(np.float32)
+    r = Raster(data=data, xll=424520.0, yll=565146.0, cell_size=2.0,
+               nodata=-9999.0)
+    p = tmp_path / "t.tif"
+    write_raster(p, r)
+    r2 = read_raster(p)
+    np.testing.assert_array_equal(r2.data, data)
+    assert r2.cell_size == pytest.approx(2.0)
+    assert r2.xll == pytest.approx(424520.0)
+    assert r2.yll == pytest.approx(565146.0)
+    assert r2.nodata == -9999.0
+
+
+def test_domain_orientation_roundtrip():
+    data = np.arange(12.0).reshape(3, 4)
+    r = Raster(data=data)
+    dom = r.to_domain_array()
+    # Row 0 of the domain is the southernmost = last raster row.
+    np.testing.assert_array_equal(dom[0], data[-1])
+    r2 = Raster.from_domain_array(dom)
+    np.testing.assert_array_equal(r2.data, data)
+
+
+def test_csv_series(tmp_path):
+    p = tmp_path / "rain.csv"
+    p.write_text("Time (s),Rate (mm/hr)\n0,70\n3600,70\n7200,0\n")
+    s = read_timeseries_csv(p, n_cols=2)
+    assert s.shape == (3, 2)
+    assert series_interval(s) == 3600.0
+    assert series_length(s) == 7200.0
+
+
+def test_xml_config_load(tmp_path):
+    # Build a tiny model directory with an ASC DEM and rainfall.
+    import textwrap
+    (tmp_path / "topo").mkdir()
+    (tmp_path / "bdy").mkdir()
+    dem = Raster(data=np.zeros((24, 32)), xll=0.0, yll=0.0, cell_size=2.0)
+    write_raster(tmp_path / "topo" / "dem.asc", dem)
+    (tmp_path / "bdy" / "rain.csv").write_text(
+        "Time,Rate\n0,50\n3600,50\n7200,0\n")
+    xml = textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <configuration>
+          <metadata><name>Tiny</name><description>d</description></metadata>
+          <simulation>
+            <parameter name="duration" value="120" />
+            <parameter name="outputFrequency" value="60" />
+            <parameter name="floatingPointPrecision" value="double" />
+            <domainSet>
+              <domain type="cartesian" deviceNumber="1">
+                <data sourceDir="topo/" targetDir="out/">
+                  <dataSource type="constant" value="depth" source="0.0" />
+                  <dataSource type="constant" value="manningCoefficient"
+                              source="0.03" />
+                  <dataSource type="raster" value="structure,dem"
+                              source="dem.asc" />
+                  <dataTarget type="raster" value="depth" format="GTiff"
+                              target="depth_%t.tif" />
+                </data>
+                <scheme name="Godunov">
+                  <parameter name="courantNumber" value="0.5" />
+                  <parameter name="frictionEffects" value="yes" />
+                </scheme>
+                <boundaryConditions sourceDir="bdy/">
+                  <domainEdge edge="north" treatment="closed" />
+                  <domainEdge edge="south" treatment="closed" />
+                  <domainEdge edge="east" treatment="closed" />
+                  <domainEdge edge="west" treatment="closed" />
+                  <timeseries type="atmospheric" name="Rain"
+                              value="rain-intensity" source="rain.csv" />
+                </boundaryConditions>
+              </domain>
+            </domainSet>
+          </simulation>
+        </configuration>
+    """)
+    cfg_path = tmp_path / "model.xml"
+    cfg_path.write_text(xml)
+
+    from hipims_tpu.io.xml_config import load_config
+    model = load_config(cfg_path)
+    assert model.name == "Tiny"
+    assert model.config.scheme == "godunov"
+    assert model.config.duration == 120.0
+    assert model.domain.rows == 24 and model.domain.cols == 32
+    assert len(model.boundaries) == 1
+    assert model.boundaries[0].values[0] == 50.0
+
+    sim = model.simulation()
+    sim.run()
+    assert sim.t == pytest.approx(120.0, abs=1e-5)
+    assert sim.volume() > 0  # rain accumulated
+    # Outputs written for each interval.
+    outs = sorted((tmp_path / "out").glob("depth_*.tif"))
+    assert [o.name for o in outs] == ["depth_120.tif", "depth_60.tif"]
+    r = read_raster(outs[0])
+    assert r.data.shape == (24, 32)
+
+
+def test_cli_runs(tmp_path, capsys):
+    dem = Raster(data=np.zeros((16, 16)), cell_size=2.0)
+    write_raster(tmp_path / "dem.asc", dem)
+    xml = f"""<?xml version="1.0"?>
+    <configuration>
+      <metadata><name>CLI</name></metadata>
+      <simulation>
+        <parameter name="duration" value="10" />
+        <parameter name="outputFrequency" value="10" />
+        <domainSet><domain type="cartesian">
+          <data sourceDir="." targetDir="out/">
+            <dataSource type="constant" value="depth" source="0.1" />
+            <dataSource type="constant" value="manningCoefficient"
+                        source="0.03" />
+            <dataSource type="raster" value="structure,dem"
+                        source="dem.asc" />
+          </data>
+          <scheme name="Godunov" />
+        </domain></domainSet>
+      </simulation>
+    </configuration>"""
+    p = tmp_path / "m.xml"
+    p.write_text(xml)
+    from hipims_tpu.cli import main
+    assert main(["--config-file", str(p), "--disable-screen"]) == 0

@@ -1,0 +1,73 @@
+"""Multi-device sharding: an 8-device CPU mesh must reproduce the
+single-device simulation exactly (f64) for every scheme."""
+
+import jax
+import numpy as np
+import pytest
+
+from hipims_tpu.parallel import make_mesh
+from hipims_tpu.runtime import Simulation, SimulationConfig
+from tests.test_simulation import circular_dam_domain
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _run(scheme, mesh, n=64, duration=3.0):
+    dom = circular_dam_domain(n=n)
+    cfg = SimulationConfig(scheme=scheme, duration=duration,
+                           output_frequency=duration, friction=True,
+                           batch_size=8, batch_auto=False)
+    sim = Simulation(dom, cfg, mesh=mesh)
+    sim.run()
+    return sim
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock", "inertial"])
+def test_sharded_matches_single_device(scheme, mesh8):
+    ref = _run(scheme, mesh=None)
+    shd = _run(scheme, mesh=mesh8)
+    assert shd.t == pytest.approx(ref.t, abs=1e-9)
+    # Partitioned compilation fuses/contracts differently (FMA, op order),
+    # and the 1e-10 delta-rounding threshold amplifies bit-level differences
+    # to threshold scale, so exact bitwise equality is not expected.
+    for a, b, name in zip(ref.state, shd.state, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=5e-9, err_msg=name)
+
+
+def test_mesh_shapes():
+    m = make_mesh(8)
+    assert m.devices.shape in ((2, 4), (4, 2))
+    m = make_mesh(4, shape=(4, 1))
+    assert m.devices.shape == (4, 1)
+
+
+def test_sharded_with_rainfall(mesh8):
+    from hipims_tpu.domain import Domain
+    from hipims_tpu.ops.boundaries import UniformBoundary
+
+    n = 48
+    rain = UniformBoundary(values=np.full(10, 50.0), interval=600.0,
+                           length=6000.0, is_loss=False)
+
+    def build():
+        dom = Domain(zb=np.zeros((n, n)), manning=0.03, dx=2.0, dy=2.0)
+        dom.set_initial_depth(0.0)
+        return dom
+
+    cfg = SimulationConfig(scheme="godunov", duration=30.0,
+                           output_frequency=30.0, batch_size=16,
+                           batch_auto=False)
+    ref = Simulation(build(), cfg, boundaries=(rain,))
+    ref.run()
+    shd = Simulation(build(), cfg, boundaries=(rain,), mesh=mesh8)
+    shd.run()
+    np.testing.assert_allclose(np.asarray(shd.state.z),
+                               np.asarray(ref.state.z), rtol=1e-9,
+                               atol=2e-9)
+    assert shd.volume() > 0
