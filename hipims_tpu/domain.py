@@ -56,6 +56,8 @@ class Domain:
             # NODATA bed cells are disabled, as in the reference's
             # handleInputData (src/Domain/CDomain.cpp:294-397).
             self.active = self.zb > C.NODATA + 0.5
+        # Logical (pre-padding) grid dimensions.
+        self.logical_rows, self.logical_cols = self.zb.shape
 
     @property
     def rows(self):
@@ -90,14 +92,37 @@ class Domain:
         CDomainCartesian.cpp:773-799).  'open' leaves the static edge ring
         as-is, which acts as a fixed-state ghost row."""
         zb = self.zb
+        lr, lc = self.logical_rows, self.logical_cols
         if self.edge_treatment.get("north") == "closed":
-            zb[-1, :] = C.CLOSED_EDGE_ELEVATION
+            zb[lr - 1, :lc] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("south") == "closed":
-            zb[0, :] = C.CLOSED_EDGE_ELEVATION
+            zb[0, :lc] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("east") == "closed":
-            zb[:, -1] = C.CLOSED_EDGE_ELEVATION
+            zb[:lr, lc - 1] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("west") == "closed":
-            zb[:, 0] = C.CLOSED_EDGE_ELEVATION
+            zb[:lr, 0] = C.CLOSED_EDGE_ELEVATION
+
+    def pad_for_tiles(self, sublane=8, lane=128):
+        """Grow the grid with disabled wall cells so rows % sublane == 0 and
+        cols % lane == 0 (the Pallas kernel's DMA alignment contract).
+        Padding cells carry the NODATA sentinel and a high bed, so they are
+        permanently dry and the logical grid's behaviour is unchanged; the
+        logical edge ring stays static via the kernel's index mask."""
+        rp = (-self.rows) % sublane
+        cp = (-self.cols) % lane
+        if rp == 0 and cp == 0:
+            return self
+        pad = ((0, rp), (0, cp))
+        self.zb = np.pad(self.zb, pad,
+                         constant_values=C.CLOSED_EDGE_ELEVATION)
+        self.manning = np.pad(self.manning, pad, constant_values=0.0)
+        self.active = np.pad(self.active, pad, constant_values=False)
+        for attr in ("_depth", "_fsl", "_qx", "_qy"):
+            v = getattr(self, attr)
+            if v is not None:
+                setattr(self, attr, np.pad(np.asarray(v), pad,
+                                           constant_values=0.0))
+        return self
 
     def build(self, dtype=np.float64, apply_edges=True):
         """Materialise (FlowState, DomainStatic) device arrays.

@@ -26,7 +26,9 @@ def implicit_friction(z, qx, qy, zb, manning, dt, very_small):
     h_safe = jnp.where(skip, 1.0, h)
     q_safe = jnp.where(skip, 1.0, q_mag)
 
-    cf = GRAVITY * manning * manning / jnp.cbrt(h_safe)
+    # h^(1/3) via exp/log (h_safe > 0 on the non-skip path); matches the
+    # reference's pow(h, 1.0/3.0) and lowers cleanly in Pallas/Mosaic.
+    cf = GRAVITY * manning * manning / jnp.exp(jnp.log(h_safe) / 3.0)
     inv_h2 = cf / (h_safe * h_safe)
     sfx = -inv_h2 * qx * q_mag
     sfy = -inv_h2 * qy * q_mag

@@ -14,6 +14,11 @@ structural, not numerical:
   (XLA donates buffers under jit);
 * all branches (disabled cells, dry neighbourhoods, suspended timestep)
   become where-masks.
+
+``godunov_interior`` is the shared core: it takes arrays with a one-cell
+halo ring and returns the updated interior.  The whole-grid step
+(godunov_step) and the Pallas row-tile kernel (ops/pallas/stencil.py) both
+call it, so the two backends are numerically identical by construction.
 """
 
 from __future__ import annotations
@@ -44,14 +49,14 @@ def _round_small(delta, vs):
     return jnp.where(jnp.abs(delta) < vs, 0.0, delta)
 
 
-def godunov_step(state: FlowState, static: DomainStatic, dt,
-                 params: SchemeParams) -> FlowState:
-    """One first-order step.  ``dt`` may be a traced scalar; dt <= 0 or any
-    per-cell skip condition leaves the cell unchanged."""
+def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+    """Update the interior of halo-extended arrays.
+
+    Inputs are (R, Cc) arrays whose outer ring is halo/static; returns the
+    four updated (R-2, Cc-2) interior fields.  dt may be a traced scalar;
+    dt <= 0 or any per-cell skip condition leaves a cell unchanged.
+    """
     vs = params.very_small
-    z, zmax, qx, qy = (jnp.asarray(a) for a in
-                       (state.z, state.zmax, state.qx, state.qy))
-    zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
 
     # --- Interface solves (one per physical interface) -------------------
     # x-axis: between (y, i) [left] and (y, i+1) [right]; along = qx.
@@ -64,7 +69,6 @@ def godunov_step(state: FlowState, static: DomainStatic, dt,
         z[:-1, :], zb[:-1, :], qy[:-1, :], qx[:-1, :],
         z[1:, :], zb[1:, :], qy[1:, :], qx[1:, :], vs)
 
-    # --- Per-cell assembly on the interior ring --------------------------
     sl = (slice(1, -1), slice(1, -1))
     zc = z[sl]
     zbc = zb[sl]
@@ -143,7 +147,20 @@ def godunov_step(state: FlowState, static: DomainStatic, dt,
     zmax_out = jnp.where(keep, zmax_c, zmax_new)
     qx_out = jnp.where(keep, qx[sl], qx_new)
     qy_out = jnp.where(keep, qy[sl], qy_new)
+    return z_out, zmax_out, qx_out, qy_out
 
+
+def godunov_step(state: FlowState, static: DomainStatic, dt,
+                 params: SchemeParams) -> FlowState:
+    """One first-order step on the whole grid (XLA backend)."""
+    z, zmax, qx, qy = (jnp.asarray(a) for a in
+                       (state.z, state.zmax, state.qx, state.qy))
+    zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+
+    z_out, zmax_out, qx_out, qy_out = godunov_interior(
+        z, zmax, qx, qy, zb, n, dt, params)
+
+    sl = (slice(1, -1), slice(1, -1))
     return FlowState(
         z=z.at[sl].set(z_out),
         zmax=zmax.at[sl].set(zmax_out),

@@ -1,0 +1,243 @@
+"""Fused Godunov step as a Pallas TPU kernel.
+
+The XLA backend materialises every interface-flux array in HBM (~20 array
+round-trips per step), which makes the step bandwidth-bound.  This kernel
+fuses the whole step: for each row tile it DMAs the six input fields
+(with halo) HBM->VMEM once, evaluates reconstruction + HLLC + source terms
++ friction + the per-tile CFL partial max entirely in VMEM, and writes the
+four updated fields back — ~40 B/cell of HBM traffic.  It plays the role
+the reference's LDS cache configs attempted
+(src/Schemes/CLSchemeGodunov.clc:389-643 gts_cacheEnabled), profitable here
+because the VMEM tile is large and the reduction rides along for free.
+
+Alignment contract (TPU DMA slices must be (8,128)-tile aligned):
+  * rows % tile_rows == 0, tile_rows % 8 == 0, cols % 128 == 0,
+    at least two tiles (Domain.pad_for_tiles arranges this; smaller grids
+    fall back to the XLA backend);
+  * each tile OUTPUTS rows [t*TR, (t+1)*TR) and LOADS the aligned halo
+    window [t*TR-8, (t+1)*TR+8) (clamped at the array ends, with the
+    placement offset fixed per first/middle/last case so all slices stay
+    static and aligned);
+  * the global edge rows/columns are preserved via masks, so the
+    never-updated ring needs no special tiles.
+
+Numerics are shared with the XLA backend (ops/godunov.godunov_interior),
+so the two backends agree bit-for-bit up to compiler fusion differences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import constants as C
+from ...state import DomainStatic, FlowState
+from ..godunov import SchemeParams, godunov_interior
+
+N_IN = 6   # z, zmax, qx, qy, zb, n
+N_OUT = 4  # z, zmax, qx, qy
+HALO = 8   # aligned halo rows each side (stencil needs only 1)
+
+
+def pick_tile_rows(rows: int, cols: int, vmem_budget=8 * 2**20) -> int:
+    """Largest multiple-of-8 divisor of ``rows`` within the VMEM budget."""
+    per_row = cols * 4 * 40   # inputs+outputs+Mosaic temporaries (rough)
+    cap = max(8, min(vmem_budget // per_row, rows // 2))
+    best = 0
+    for cand in range(8, rows + 1, 8):
+        if rows % cand == 0 and cand <= cap:
+            best = cand
+    return best
+
+
+def supports(rows: int, cols: int, tile_rows: int | None = None) -> bool:
+    if rows % 8 or cols % 128:
+        return False
+    tr = tile_rows or pick_tile_rows(rows, cols)
+    return tr >= 8 and rows % tr == 0 and rows // tr >= 2
+
+
+def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
+            rows: int, cols: int, logical_rows: int, logical_cols: int,
+            simplified_speed: bool):
+    ins = refs[:N_IN]
+    outs = refs[N_IN:N_IN + N_OUT]
+    speed_ref = refs[N_IN + N_OUT]
+    scr = refs[N_IN + N_OUT + 1]       # (N_IN, TR+2*HALO, C)
+    out_scr = refs[N_IN + N_OUT + 2]   # (N_OUT, TR, C)
+    sem_in = refs[N_IN + N_OUT + 3]
+    sem_out = refs[N_IN + N_OUT + 4]
+
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tr = tile_rows
+    is_first = t == 0
+    is_last = t == n_tiles - 1
+
+    # ---- load tile + aligned halo ---------------------------------------
+    # scr row HALO+j always holds global row t*TR+j; the out-of-range halo
+    # rows of the first/last tiles hold stale data that only feeds the
+    # masked-out edge rows.  DMA waits must match the copy descriptor, so
+    # each placement case starts AND waits its own copies.
+    def _first_copy(k):
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(0, tr + HALO)],
+            scr.at[k, pl.ds(HALO, tr + HALO)], sem_in.at[k])
+
+    def _last_copy(k):
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
+            scr.at[k, pl.ds(0, tr + HALO)], sem_in.at[k])
+
+    def _mid_copy(k):
+        start = pl.multiple_of(t * tr - HALO, 8)
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(start, tr + 2 * HALO)],
+            scr.at[k], sem_in.at[k])
+
+    not_first = jnp.logical_not(is_first)
+    is_mid = not_first & jnp.logical_not(is_last)
+
+    @pl.when(is_first)
+    def _():
+        for k in range(N_IN):
+            _first_copy(k).start()
+        for k in range(N_IN):
+            _first_copy(k).wait()
+
+    @pl.when(not_first & is_last)
+    def _():
+        for k in range(N_IN):
+            _last_copy(k).start()
+        for k in range(N_IN):
+            _last_copy(k).wait()
+
+    @pl.when(is_mid)
+    def _():
+        for k in range(N_IN):
+            _mid_copy(k).start()
+        for k in range(N_IN):
+            _mid_copy(k).wait()
+
+    # Compute window: rows [HALO-1, HALO+TR+1) -> interior == output rows.
+    w0, w1 = HALO - 1, HALO + tr + 1
+    z, zmax, qx, qy, zb, n = (scr[k, w0:w1, :] for k in range(N_IN))
+    dt = dt_ref[0, 0]
+
+    zi, zmaxi, qxi, qyi = godunov_interior(z, zmax, qx, qy, zb, n, dt,
+                                           params)
+
+    # The LOGICAL grid's edge ring stays static (padding cells beyond it
+    # are disabled and already keep their state): mask by global indices.
+    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
+    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
+    ring = ((gids == 0) | (gids >= logical_rows - 1)
+            | (cids >= logical_cols - 1))
+    old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1],
+           qx[1:-1, 1:-1], qy[1:-1, 1:-1])
+    zi, zmaxi, qxi, qyi = (jnp.where(ring, o, v) for o, v in
+                           zip(old, (zi, zmaxi, qxi, qyi)))
+
+    # Reassemble full-width rows (static edge columns keep old values);
+    # concatenate is Mosaic-supported, scatter/dynamic_update_slice not.
+    def full_width(old2d, interior):
+        return jnp.concatenate(
+            [old2d[1:-1, :1], interior, old2d[1:-1, -1:]], axis=1)
+
+    out_scr[0] = full_width(z, zi)
+    out_scr[1] = full_width(zmax, zmaxi)
+    out_scr[2] = full_width(qx, qxi)
+    out_scr[3] = full_width(qy, qyi)
+
+    # ---- fused CFL partial max over the updated rows ---------------------
+    # Covers every global row across the tile set, like the reference's
+    # full-grid reduction (src/Schemes/CLDynamicTimestep.clc:185-223).
+    h = out_scr[0] - zb[1:-1, :]
+    wet = (h > params.quite_small) & (out_scr[1] > C.NODATA)
+    h_safe = jnp.where(wet, h, 1.0)
+    cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+    if simplified_speed:
+        spd = cel
+    else:
+        spd = jnp.maximum(jnp.abs(out_scr[2]),
+                          jnp.abs(out_scr[3])) / h_safe + cel
+    spd = jnp.where(wet, spd, 0.0)
+    speed_ref[t, 0] = jnp.max(spd)
+
+    # ---- write back (aligned full-tile rows) -----------------------------
+    out_start = pl.multiple_of(t * tr, 8)
+    for k in range(N_OUT):
+        pltpu.make_async_copy(
+            out_scr.at[k], outs[k].at[pl.ds(out_start, tr)],
+            sem_out.at[k]).start()
+    for k in range(N_OUT):
+        pltpu.make_async_copy(
+            out_scr.at[k], outs[k].at[pl.ds(out_start, tr)],
+            sem_out.at[k]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "params", "simplified_speed", "tile_rows", "interpret",
+    "logical_rows", "logical_cols"))
+def godunov_step_pallas(state: FlowState, static: DomainStatic, dt,
+                        params: SchemeParams, simplified_speed: bool = False,
+                        tile_rows: int | None = None,
+                        interpret: bool = False,
+                        logical_rows: int | None = None,
+                        logical_cols: int | None = None):
+    """Fused step + CFL reduce.  Returns (new_state, max_wave_speed).
+
+    Requires rows % tile_rows == 0 with tile_rows % 8 == 0, >= 2 tiles and
+    cols % 128 == 0 (see ``supports`` / Domain.pad_for_tiles).
+    """
+    rows, cols = state.z.shape
+    if tile_rows is None:
+        tile_rows = pick_tile_rows(rows, cols)
+    if not supports(rows, cols, tile_rows):
+        raise ValueError(
+            f"grid {rows}x{cols} with tile_rows={tile_rows} violates the "
+            "Pallas alignment contract (see Domain.pad_for_tiles)")
+    n_tiles = rows // tile_rows
+    dtype = state.z.dtype
+
+    kernel = functools.partial(
+        _kernel, params=params, tile_rows=tile_rows, rows=rows, cols=cols,
+        logical_rows=logical_rows or rows, logical_cols=logical_cols or cols,
+        simplified_speed=simplified_speed)
+
+    dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * N_IN,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_OUT
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((N_IN, tile_rows + 2 * HALO, cols), dtype),
+            pltpu.VMEM((N_OUT, tile_rows, cols), dtype),
+            pltpu.SemaphoreType.DMA((N_IN,)),
+            pltpu.SemaphoreType.DMA((N_OUT,)),
+        ],
+    )
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((rows, cols), dtype) for _ in range(N_OUT)]
+        + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)]
+    )
+
+    zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dt_arr, state.z, state.zmax, state.qx, state.qy,
+      static.zb, static.manning)
+
+    return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)

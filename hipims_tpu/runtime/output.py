@@ -80,8 +80,8 @@ class RasterOutputWriter:
     def __call__(self, sim, t: float):
         from pathlib import Path
         for tgt in self.targets:
-            field = derive_field(tgt["value"], sim.state, sim.static,
-                                 sim.domain.dx)
+            field = derive_field(tgt["value"], sim.state_logical,
+                                 sim.static_logical, sim.domain.dx)
             name = tgt["target"].replace("%t", str(int(round(t))))
             raster = Raster.from_domain_array(
                 field, xll=self.domain.xll, yll=self.domain.yll,

@@ -55,6 +55,7 @@ class SimulationConfig:
     batch_auto: bool = True             # adapt batch toward target seconds
     batch_target_seconds: float = 0.5
     sync_tolerance: float = 1e-5        # output-time match tolerance
+    kernel_backend: str = "auto"        # "auto" | "xla" | "pallas"
 
 
 class Simulation:
@@ -73,7 +74,25 @@ class Simulation:
 
         dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.dtype = dtype
+
+        # Kernel backend: the fused Pallas stencil runs the whole step +
+        # CFL reduce in VMEM (f32, single device, aligned grids); everything
+        # else uses the XLA-fused path.
+        from ..ops.pallas import stencil as _pallas
+        backend = config.kernel_backend
+        if backend == "auto":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            backend = ("pallas" if (on_tpu and mesh is None
+                                    and config.dtype == "float32"
+                                    and self.scheme.name == "godunov")
+                       else "xla")
+        if backend == "pallas":
+            domain.pad_for_tiles()
         self.state, self.static = domain.build(dtype=dtype)
+        if backend == "pallas" and not _pallas.supports(domain.rows,
+                                                        domain.cols):
+            backend = "xla"
+        self.backend = backend
         self.carry = initial_carry(dtype, dt0=config.initial_timestep)
         if mesh is not None:
             # 2-D grid sharding; XLA inserts the halo collectives for the
@@ -107,6 +126,10 @@ class Simulation:
         ts_params = self.ts_params
         boundaries_static = self.boundaries
         end_time = self.config.duration
+        use_pallas = self.backend == "pallas"
+        logical = (self.domain.logical_rows, self.domain.logical_cols)
+        if use_pallas:
+            from ..ops.pallas.stencil import godunov_step_pallas
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state", "carry"))
@@ -117,11 +140,17 @@ class Simulation:
                 state = apply_boundaries(boundaries_static, state, static,
                                          carry.t, carry.dt, carry.t_hydro,
                                          params)
-                state = scheme_step(state, static, carry.dt, params)
-                speed = max_wave_speed(state.z, state.zmax, state.qx,
-                                       state.qy, static.zb,
-                                       params.quite_small,
-                                       ts_params.simplified_speed)
+                if use_pallas:
+                    state, speed = godunov_step_pallas.__wrapped__(
+                        state, static, carry.dt, params,
+                        ts_params.simplified_speed, None, False,
+                        logical[0], logical[1])
+                else:
+                    state = scheme_step(state, static, carry.dt, params)
+                    speed = max_wave_speed(state.z, state.zmax, state.qx,
+                                           state.qy, static.zb,
+                                           params.quite_small,
+                                           ts_params.simplified_speed)
                 carry = advance(carry, speed, sync_time, end_time,
                                 params.dx, ts_params)
                 return (state, carry), None
@@ -192,9 +221,20 @@ class Simulation:
     def t(self) -> float:
         return float(self.carry.t)
 
+    @property
+    def state_logical(self) -> FlowState:
+        lr, lc = self.domain.logical_rows, self.domain.logical_cols
+        return FlowState(*(np.asarray(a)[:lr, :lc] for a in self.state))
+
+    @property
+    def static_logical(self) -> DomainStatic:
+        lr, lc = self.domain.logical_rows, self.domain.logical_cols
+        return DomainStatic(*(np.asarray(a)[:lr, :lc] for a in self.static))
+
     def depth(self) -> np.ndarray:
-        h = np.asarray(self.state.z) - np.asarray(self.static.zb)
-        h[np.asarray(self.state.zmax) <= C.NODATA] = 0.0
+        st = self.state_logical
+        h = np.asarray(st.z) - np.asarray(self.static_logical.zb)
+        h[np.asarray(st.zmax) <= C.NODATA] = 0.0
         return np.maximum(h, 0.0)
 
     def volume(self) -> float:

@@ -1,0 +1,56 @@
+"""Pallas fused Godunov kernel vs. the XLA backend (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from hipims_tpu.ops.godunov import SchemeParams, godunov_step
+from hipims_tpu.ops.pallas.stencil import godunov_step_pallas, supports
+from hipims_tpu.ops.timestep import max_wave_speed
+from hipims_tpu.state import DomainStatic, FlowState
+from tests.test_godunov_oracle import random_domain
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_xla(seed):
+    z, zmax, qx, qy, zb, n = random_domain(seed, rows=32, cols=128)
+    state = FlowState(*[np.asarray(a) for a in (z, zmax, qx, qy)])
+    static = DomainStatic(zb=zb, manning=n)
+    params = SchemeParams(dx=2.0, dy=2.0)
+    dt = 0.05
+
+    want = godunov_step(state, static, dt, params)
+    got, speed = godunov_step_pallas(state, static, dt, params,
+                                     tile_rows=8, interpret=True)
+
+    for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+
+    want_speed = max_wave_speed(want.z, want.zmax, want.qx, want.qy,
+                                static.zb, params.quite_small)
+    assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
+
+
+def test_pallas_multi_tile_consistency():
+    """Different tilings must give identical results."""
+    z, zmax, qx, qy, zb, n = random_domain(3, rows=64, cols=128)
+    state = FlowState(*[np.asarray(a) for a in (z, zmax, qx, qy)])
+    static = DomainStatic(zb=zb, manning=n)
+    params = SchemeParams(dx=2.0, dy=2.0)
+
+    a, sa = godunov_step_pallas(state, static, 0.05, params,
+                                tile_rows=32, interpret=True)
+    b, sb = godunov_step_pallas(state, static, 0.05, params,
+                                tile_rows=8, interpret=True)
+    # Tilings fuse differently in the compiler; agreement to an ulp.
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-14, atol=1e-14)
+    assert float(sa) == pytest.approx(float(sb), rel=1e-14)
+
+
+def test_supports_contract():
+    assert supports(64, 128)
+    assert not supports(66, 128)       # rows not 8-aligned
+    assert not supports(64, 100)       # cols not lane-aligned
+    assert not supports(8, 128, 8)     # single tile
