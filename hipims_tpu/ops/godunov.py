@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..state import DomainStatic, FlowState
 from .friction import implicit_friction
-from .riemann import shift_correction, solve_interfaces
+from .riemann import local_datum, solve_interfaces
 
 
 class SchemeParams(NamedTuple):
@@ -81,26 +81,22 @@ def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
     f_n = face(fy, (slice(1, None), slice(1, -1)))
     f_s = face(fy, (slice(None, -1), slice(1, -1)))
 
-    # Datum-shift corrections per (cell, face).
-    s_e, c_e = shift_correction(zc, f_e.zbm)
-    s_w, c_w = shift_correction(zc, f_w.zbm)
-    s_n, c_n = shift_correction(zc, f_n.zbm)
-    s_s, c_s = shift_correction(zc, f_s.zbm)
+    # Per-cell local datum and its momentum-flux term at each face.
+    zb_e, c_e = local_datum(zc, f_e.zbm)
+    zb_w, c_w = local_datum(zc, f_w.zbm)
+    zb_n, c_n = local_datum(zc, f_n.zbm)
+    zb_s, c_s = local_datum(zc, f_s.zbm)
 
     inv_dx = 1.0 / params.dx
     inv_dy = 1.0 / params.dy
 
     # Bed-slope source terms use the neighbour-side reconstructed surface and
     # the shifted local bed at each face (reference:
-    # src/Schemes/CLSchemeGodunov.clc:321-325).
-    z_e = f_e.zr - s_e
-    z_w = f_w.zl - s_w
-    z_n = f_n.zr - s_n
-    z_s = f_s.zl - s_s
-    zb_e = f_e.zbm - s_e
-    zb_w = f_w.zbm - s_w
-    zb_n = f_n.zbm - s_n
-    zb_s = f_s.zbm - s_s
+    # src/Schemes/CLSchemeGodunov.clc:321-325): z_face = h_far + zb_local.
+    z_e = f_e.hr + zb_e
+    z_w = f_w.hl + zb_w
+    z_n = f_n.hr + zb_n
+    z_s = f_s.hl + zb_s
     src_x = -C.GRAVITY * 0.5 * (z_e + z_w) * (zb_e - zb_w) * inv_dx
     src_y = -C.GRAVITY * 0.5 * (z_n + z_s) * (zb_n - zb_s) * inv_dy
 

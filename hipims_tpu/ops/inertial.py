@@ -46,14 +46,10 @@ def _face_discharge(manning, dt, prev_q, level_up, bed_up, level_down,
     return jnp.where(dry, 0.0, q)
 
 
-def inertial_step(state: FlowState, static: DomainStatic, dt,
-                  params: SchemeParams) -> FlowState:
-    """One partial-inertial step."""
+def inertial_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+    """Update the interior of halo-extended arrays (radius 1); returns the
+    four updated (M-2, Cc-2) interior fields."""
     vs = params.very_small
-    state = FlowState(*(jnp.asarray(a) for a in state))
-    z, zmax, qx, qy = state.z, state.zmax, state.qx, state.qy
-    zb = jnp.asarray(static.zb)
-    n = jnp.asarray(static.manning)
     dx = params.dx
 
     # x-interfaces between (y, i) and (y, i+1): "up" = east side (i+1),
@@ -97,9 +93,25 @@ def inertial_step(state: FlowState, static: DomainStatic, dt,
             & dry[2:, 1:-1] & dry[:-2, 1:-1])
     keep = disabled | dry5 | (dt <= 0.0)
 
+    return (jnp.where(keep, zc, z_new),
+            jnp.where(keep, zmax_c, zmax_new),
+            jnp.where(keep, qx[sl], q_w),
+            jnp.where(keep, qy[sl], q_s))
+
+
+def inertial_step(state: FlowState, static: DomainStatic, dt,
+                  params: SchemeParams) -> FlowState:
+    """One partial-inertial step on the whole grid (XLA backend)."""
+    z, zmax, qx, qy = (jnp.asarray(a) for a in state)
+    zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+
+    z_out, zmax_out, qx_out, qy_out = inertial_interior(
+        z, zmax, qx, qy, zb, n, dt, params)
+
+    sl = (slice(1, -1), slice(1, -1))
     return FlowState(
-        z=z.at[sl].set(jnp.where(keep, zc, z_new)),
-        zmax=zmax.at[sl].set(jnp.where(keep, zmax_c, zmax_new)),
-        qx=qx.at[sl].set(jnp.where(keep, qx[sl], q_w)),
-        qy=qy.at[sl].set(jnp.where(keep, qy[sl], q_s)),
+        z=z.at[sl].set(z_out),
+        zmax=zmax.at[sl].set(zmax_out),
+        qx=qx.at[sl].set(qx_out),
+        qy=qy.at[sl].set(qy_out),
     )

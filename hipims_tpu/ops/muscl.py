@@ -6,6 +6,12 @@ src/Schemes/CLSchemeMUSCLHancock.clc:301-526) and corrector mch_2nd_cacheNone
 ops/godunov.py, every interface is solved once with the per-cell datum shift
 applied as a closed-form correction; the predictor's separate/contiguous
 face-buffer layouts collapse into four plain arrays that XLA keeps fused.
+
+``muscl_interior`` is the shared core (stencil radius 2): it takes arrays
+with a two-cell halo ring and returns the updated interior, so the XLA
+whole-grid step and the fused Pallas row-tile kernel share one numerical
+implementation.  Note the reference's MUSCL corrector leaves a TWO-cell
+static ring (bounds check at src/Schemes/CLSchemeMUSCLHancock.clc:568-573).
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ from ..state import DomainStatic, FlowState
 from .friction import implicit_friction
 from .godunov import SchemeParams, _round_small
 from .limiters import slope_vector
-from .riemann import shift_correction, solve_interfaces_muscl
+from .riemann import local_datum, solve_interfaces_muscl
 
 
 class FaceExtrap(NamedTuple):
@@ -49,16 +55,14 @@ def _flux_y(face: FaceExtrap, vs):
     return face.qy, v * face.qx, v * face.qy + p
 
 
-def muscl_predictor(state: FlowState, static: DomainStatic, dt,
-                    params: SchemeParams):
-    """Half-timestep predictor: limited slopes -> face extrapolation ->
-    dt/2 evolution -> re-extrapolation.  Returns (ex_n, ex_e, ex_s, ex_w),
-    full-grid FaceExtrap arrays (outer ring/fallback cells carry the
-    first-order estimate)."""
-    vs = params.very_small
-    z, zmax, qx, qy = state.z, state.zmax, state.qx, state.qy
-    zb = static.zb
+def muscl_predictor_interior(z, zmax, qx, qy, zb, dt,
+                             params: SchemeParams):
+    """Half-timestep predictor for the one-ring interior of (M, Cc) arrays.
 
+    Returns four FaceExtrap slabs of shape (M-2, Cc-2) ordered N, E, S, W,
+    where slab[j, i] belongs to cell (j+1, i+1).
+    """
+    vs = params.very_small
     sl = (slice(1, -1), slice(1, -1))
     n_i = (slice(2, None), slice(1, -1))
     s_i = (slice(None, -2), slice(1, -1))
@@ -121,33 +125,32 @@ def muscl_predictor(state: FlowState, static: DomainStatic, dt,
 
     first_order_face = FaceExtrap(z=zc, h=hc, qx=qxc, qy=qyc)
 
-    def pick(sec, fall):
+    def pick(sec):
         return FaceExtrap(*(jnp.where(first_order, f, s)
-                            for s, f in zip(sec, fall)))
+                            for s, f in zip(sec, first_order_face)))
 
-    faces = [pick(ex, first_order_face)
-             for ex in (ex_n1, ex_e1, ex_s1, ex_w1)]
-
-    # Scatter interior results into full-grid arrays (ring cells keep a
-    # first-order self-estimate, harmless because the corrector never
-    # consumes them).
-    def to_full(face: FaceExtrap) -> FaceExtrap:
-        full_z = z.at[sl].set(face.z)
-        full_h = (z - zb).at[sl].set(face.h)
-        full_qx = qx.at[sl].set(face.qx)
-        full_qy = qy.at[sl].set(face.qy)
-        return FaceExtrap(full_z, full_h, full_qx, full_qy)
-
-    return tuple(to_full(f) for f in faces)
+    return tuple(pick(ex) for ex in (ex_n1, ex_e1, ex_s1, ex_w1))
 
 
-def muscl_corrector(state: FlowState, static: DomainStatic, faces, dt,
-                    params: SchemeParams) -> FlowState:
-    """Full-timestep corrector on the two-ring interior."""
+def _pad_ring(slab):
+    """Pad a (M-2, Cc-2) per-cell slab back to (M, Cc) with a zero ring
+    (ring extraps are never consumed by the corrector)."""
+    m2, c2 = slab.shape
+    zrow = jnp.zeros((1, c2), dtype=slab.dtype)
+    v = jnp.concatenate([zrow, slab, zrow], axis=0)
+    zcol = jnp.zeros((m2 + 2, 1), dtype=slab.dtype)
+    return jnp.concatenate([zcol, v, zcol], axis=1)
+
+
+def muscl_corrector_interior(z, zmax, qx, qy, zb, n, faces, dt,
+                             params: SchemeParams):
+    """Full-timestep corrector for the two-ring interior of (M, Cc) arrays.
+
+    ``faces`` are full-size (M, Cc) FaceExtrap arrays (ring values unused).
+    Returns the four updated (M-4, Cc-4) interior fields.
+    """
     vs = params.very_small
     ex_n, ex_e, ex_s, ex_w = faces
-    z, zmax, qx, qy = state.z, state.zmax, state.qx, state.qy
-    zb, n = static.zb, static.manning
 
     # x-axis interfaces: left cell's E estimate vs right cell's W estimate.
     fx = solve_interfaces_muscl(
@@ -173,18 +176,18 @@ def muscl_corrector(state: FlowState, static: DomainStatic, faces, dt,
     f_n = face(fy, (slice(2, -1), slice(2, -2)))
     f_s = face(fy, (slice(1, -2), slice(2, -2)))
 
-    # Datum shifts use the cell's own face-extrapolated surface estimate
-    # (reference: src/Schemes/CLSchemeMUSCLHancock.clc:1156).
-    s_e, c_e = shift_correction(ex_e.z[sl], f_e.zbm)
-    s_w, c_w = shift_correction(ex_w.z[sl], f_w.zbm)
-    s_n, c_n = shift_correction(ex_n.z[sl], f_n.zbm)
-    s_s, c_s = shift_correction(ex_s.z[sl], f_s.zbm)
+    # Per-cell local datum from the cell's own face-extrapolated surface
+    # estimate (reference: src/Schemes/CLSchemeMUSCLHancock.clc:1156).
+    zb_e, c_e = local_datum(ex_e.z[sl], f_e.zbm)
+    zb_w, c_w = local_datum(ex_w.z[sl], f_w.zbm)
+    zb_n, c_n = local_datum(ex_n.z[sl], f_n.zbm)
+    zb_s, c_s = local_datum(ex_s.z[sl], f_s.zbm)
 
     inv_dx, inv_dy = 1.0 / params.dx, 1.0 / params.dy
-    z_e, zb_e = f_e.zr - s_e, f_e.zbm - s_e
-    z_w, zb_w = f_w.zl - s_w, f_w.zbm - s_w
-    z_n, zb_n = f_n.zr - s_n, f_n.zbm - s_n
-    z_s, zb_s = f_s.zl - s_s, f_s.zbm - s_s
+    z_e = f_e.hr + zb_e
+    z_w = f_w.hl + zb_w
+    z_n = f_n.hr + zb_n
+    z_s = f_s.hl + zb_s
     src_x = -C.GRAVITY * 0.5 * (z_e + z_w) * (zb_e - zb_w) * inv_dx
     src_y = -C.GRAVITY * 0.5 * (z_n + z_s) * (zb_n - zb_s) * inv_dy
 
@@ -230,19 +233,32 @@ def muscl_corrector(state: FlowState, static: DomainStatic, faces, dt,
     zmax_out = jnp.where(keep, zmax_c, zmax_new)
     qx_out = jnp.where(keep, qx[sl], qx_new)
     qy_out = jnp.where(keep, qy[sl], qy_new)
+    return z_out, zmax_out, qx_out, qy_out
 
+
+def muscl_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+    """Predictor + corrector on halo-extended arrays (radius 2): input
+    (M, Cc) arrays, output the four updated (M-4, Cc-4) interior fields."""
+    slabs = muscl_predictor_interior(z, zmax, qx, qy, zb, dt, params)
+    faces = tuple(FaceExtrap(*(jnp.asarray(_pad_ring(a)) for a in s))
+                  for s in slabs)
+    return muscl_corrector_interior(z, zmax, qx, qy, zb, n, faces, dt,
+                                    params)
+
+
+def muscl_step(state: FlowState, static: DomainStatic, dt,
+               params: SchemeParams) -> FlowState:
+    """One full MUSCL-Hancock step on the whole grid (XLA backend)."""
+    z, zmax, qx, qy = (jnp.asarray(a) for a in state)
+    zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+
+    z_out, zmax_out, qx_out, qy_out = muscl_interior(
+        z, zmax, qx, qy, zb, n, dt, params)
+
+    sl = (slice(2, -2), slice(2, -2))
     return FlowState(
         z=z.at[sl].set(z_out),
         zmax=zmax.at[sl].set(zmax_out),
         qx=qx.at[sl].set(qx_out),
         qy=qy.at[sl].set(qy_out),
     )
-
-
-def muscl_step(state: FlowState, static: DomainStatic, dt,
-               params: SchemeParams) -> FlowState:
-    """One full MUSCL-Hancock step (predictor + corrector)."""
-    state = FlowState(*(jnp.asarray(a) for a in state))
-    static = DomainStatic(*(jnp.asarray(a) for a in static))
-    faces = muscl_predictor(state, static, dt, params)
-    return muscl_corrector(state, static, faces, dt, params)

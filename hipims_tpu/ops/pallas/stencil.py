@@ -1,14 +1,16 @@
-"""Fused Godunov step as a Pallas TPU kernel.
+"""Fused shallow-water steps as Pallas TPU kernels (all three schemes).
 
-The XLA backend materialises every interface-flux array in HBM (~20 array
-round-trips per step), which makes the step bandwidth-bound.  This kernel
-fuses the whole step: for each row tile it DMAs the six input fields
-(with halo) HBM->VMEM once, evaluates reconstruction + HLLC + source terms
-+ friction + the per-tile CFL partial max entirely in VMEM, and writes the
-four updated fields back — ~40 B/cell of HBM traffic.  It plays the role
-the reference's LDS cache configs attempted
-(src/Schemes/CLSchemeGodunov.clc:389-643 gts_cacheEnabled), profitable here
-because the VMEM tile is large and the reduction rides along for free.
+The XLA backend materialises every interface-flux array in HBM (~20-40
+array round-trips per step), which makes the step bandwidth-bound.  These
+kernels fuse the whole step: for each row tile the six input fields are
+DMA'd (with halo) HBM->VMEM once, the full update (reconstruction + fluxes
++ sources + friction for Godunov/MUSCL; inertial discharges for the
+simplified scheme) plus the per-tile CFL partial max run entirely in VMEM,
+and the four updated fields are written back — ~40 B/cell of HBM traffic.
+This plays the role the reference's LDS cache configs attempted
+(src/Schemes/CLSchemeGodunov.clc:389-643, CLSchemeMUSCLHancock.clc:809-1118
+mch_cacheMaximum), profitable here because the VMEM tile is large and the
+reduction rides along for free.
 
 Alignment contract (TPU DMA slices must be (8,128)-tile aligned):
   * rows % tile_rows == 0, tile_rows % 8 == 0, cols % 128 == 0,
@@ -18,11 +20,12 @@ Alignment contract (TPU DMA slices must be (8,128)-tile aligned):
     window [t*TR-8, (t+1)*TR+8) (clamped at the array ends, with the
     placement offset fixed per first/middle/last case so all slices stay
     static and aligned);
-  * the global edge rows/columns are preserved via masks, so the
-    never-updated ring needs no special tiles.
+  * the LOGICAL grid's static ring (1 cell for Godunov/inertial, 2 for
+    MUSCL-Hancock, matching the reference's kernel bounds) is preserved
+    via index masks, so padded grids behave identically.
 
-Numerics are shared with the XLA backend (ops/godunov.godunov_interior),
-so the two backends agree bit-for-bit up to compiler fusion differences.
+Numerics are shared with the XLA backend (the *_interior functions), so the
+backends agree bit-for-bit up to compiler fusion differences.
 """
 
 from __future__ import annotations
@@ -37,15 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 from ...state import DomainStatic, FlowState
 from ..godunov import SchemeParams, godunov_interior
+from ..inertial import inertial_interior
+from ..muscl import muscl_interior
 
 N_IN = 6   # z, zmax, qx, qy, zb, n
 N_OUT = 4  # z, zmax, qx, qy
-HALO = 8   # aligned halo rows each side (stencil needs only 1)
+HALO = 8   # aligned halo rows each side (stencils need <= 2)
+
+# scheme -> (interior update fn, stencil radius / static ring width,
+#            VMEM temporaries per cell estimate in floats)
+INTERIOR = {
+    "godunov": (godunov_interior, 1, 40),
+    "muscl-hancock": (muscl_interior, 2, 100),
+    "inertial": (inertial_interior, 1, 24),
+}
 
 
-def pick_tile_rows(rows: int, cols: int, vmem_budget=8 * 2**20) -> int:
+def pick_tile_rows(rows: int, cols: int, temp_floats: int = 40,
+                   vmem_budget=8 * 2**20) -> int:
     """Largest multiple-of-8 divisor of ``rows`` within the VMEM budget."""
-    per_row = cols * 4 * 40   # inputs+outputs+Mosaic temporaries (rough)
+    per_row = cols * 4 * temp_floats
     cap = max(8, min(vmem_budget // per_row, rows // 2))
     best = 0
     for cand in range(8, rows + 1, 8):
@@ -54,16 +68,19 @@ def pick_tile_rows(rows: int, cols: int, vmem_budget=8 * 2**20) -> int:
     return best
 
 
-def supports(rows: int, cols: int, tile_rows: int | None = None) -> bool:
+def supports(rows: int, cols: int, tile_rows=None,
+             scheme: str = "godunov") -> bool:
     if rows % 8 or cols % 128:
         return False
-    tr = tile_rows or pick_tile_rows(rows, cols)
+    temp = INTERIOR[scheme][2]
+    tr = tile_rows or pick_tile_rows(rows, cols, temp)
     return tr >= 8 and rows % tr == 0 and rows // tr >= 2
 
 
-def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
-            rows: int, cols: int, logical_rows: int, logical_cols: int,
-            simplified_speed: bool):
+def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
+            tile_rows: int, rows: int, cols: int, logical_rows: int,
+            logical_cols: int, simplified_speed: bool):
+    interior_fn, radius, _ = INTERIOR[scheme]
     ins = refs[:N_IN]
     outs = refs[N_IN:N_IN + N_OUT]
     speed_ref = refs[N_IN + N_OUT]
@@ -81,7 +98,7 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
     # ---- load tile + aligned halo ---------------------------------------
     # scr row HALO+j always holds global row t*TR+j; the out-of-range halo
     # rows of the first/last tiles hold stale data that only feeds the
-    # masked-out edge rows.  DMA waits must match the copy descriptor, so
+    # masked-out ring rows.  DMA waits must match the copy descriptor, so
     # each placement case starts AND waits its own copies.
     def _first_copy(k):
         return pltpu.make_async_copy(
@@ -100,7 +117,6 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
             scr.at[k], sem_in.at[k])
 
     not_first = jnp.logical_not(is_first)
-    is_mid = not_first & jnp.logical_not(is_last)
 
     @pl.when(is_first)
     def _():
@@ -116,29 +132,29 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
         for k in range(N_IN):
             _last_copy(k).wait()
 
-    @pl.when(is_mid)
+    @pl.when(not_first & jnp.logical_not(is_last))
     def _():
         for k in range(N_IN):
             _mid_copy(k).start()
         for k in range(N_IN):
             _mid_copy(k).wait()
 
-    # Compute window: rows [HALO-1, HALO+TR+1) -> interior == output rows.
-    w0, w1 = HALO - 1, HALO + tr + 1
+    # Compute window: interior of [HALO-radius, HALO+TR+radius) == output
+    # rows.
+    w0, w1 = HALO - radius, HALO + tr + radius
     z, zmax, qx, qy, zb, n = (scr[k, w0:w1, :] for k in range(N_IN))
     dt = dt_ref[0, 0]
 
-    zi, zmaxi, qxi, qyi = godunov_interior(z, zmax, qx, qy, zb, n, dt,
-                                           params)
+    zi, zmaxi, qxi, qyi = interior_fn(z, zmax, qx, qy, zb, n, dt, params)
 
-    # The LOGICAL grid's edge ring stays static (padding cells beyond it
-    # are disabled and already keep their state): mask by global indices.
+    # The LOGICAL grid's static ring stays untouched (padding cells beyond
+    # it are disabled and already keep their state): mask by global index.
     gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
-    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
-    ring = ((gids == 0) | (gids >= logical_rows - 1)
-            | (cids >= logical_cols - 1))
-    old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1],
-           qx[1:-1, 1:-1], qy[1:-1, 1:-1])
+    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + radius
+    ring = ((gids < radius) | (gids >= logical_rows - radius)
+            | (cids >= logical_cols - radius))
+    rs = slice(radius, -radius)
+    old = (z[rs, rs], zmax[rs, rs], qx[rs, rs], qy[rs, rs])
     zi, zmaxi, qxi, qyi = (jnp.where(ring, o, v) for o, v in
                            zip(old, (zi, zmaxi, qxi, qyi)))
 
@@ -146,7 +162,7 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
     # concatenate is Mosaic-supported, scatter/dynamic_update_slice not.
     def full_width(old2d, interior):
         return jnp.concatenate(
-            [old2d[1:-1, :1], interior, old2d[1:-1, -1:]], axis=1)
+            [old2d[rs, :radius], interior, old2d[rs, -radius:]], axis=1)
 
     out_scr[0] = full_width(z, zi)
     out_scr[1] = full_width(zmax, zmaxi)
@@ -156,7 +172,7 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
     # ---- fused CFL partial max over the updated rows ---------------------
     # Covers every global row across the tile set, like the reference's
     # full-grid reduction (src/Schemes/CLDynamicTimestep.clc:185-223).
-    h = out_scr[0] - zb[1:-1, :]
+    h = out_scr[0] - zb[rs, :]
     wet = (h > params.quite_small) & (out_scr[1] > C.NODATA)
     h_safe = jnp.where(wet, h, 1.0)
     cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
@@ -181,23 +197,22 @@ def _kernel(dt_ref, *refs, params: SchemeParams, tile_rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "params", "simplified_speed", "tile_rows", "interpret",
+    "scheme", "params", "simplified_speed", "tile_rows", "interpret",
     "logical_rows", "logical_cols"))
-def godunov_step_pallas(state: FlowState, static: DomainStatic, dt,
-                        params: SchemeParams, simplified_speed: bool = False,
-                        tile_rows: int | None = None,
+def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
+                        dt, params: SchemeParams,
+                        simplified_speed: bool = False,
+                        tile_rows=None,
                         interpret: bool = False,
-                        logical_rows: int | None = None,
-                        logical_cols: int | None = None):
-    """Fused step + CFL reduce.  Returns (new_state, max_wave_speed).
-
-    Requires rows % tile_rows == 0 with tile_rows % 8 == 0, >= 2 tiles and
-    cols % 128 == 0 (see ``supports`` / Domain.pad_for_tiles).
-    """
+                        logical_rows=None,
+                        logical_cols=None):
+    """Fused step + CFL reduce for any scheme.  Returns
+    (new_state, max_wave_speed)."""
     rows, cols = state.z.shape
+    temp = INTERIOR[scheme][2]
     if tile_rows is None:
-        tile_rows = pick_tile_rows(rows, cols)
-    if not supports(rows, cols, tile_rows):
+        tile_rows = pick_tile_rows(rows, cols, temp)
+    if not supports(rows, cols, tile_rows, scheme):
         raise ValueError(
             f"grid {rows}x{cols} with tile_rows={tile_rows} violates the "
             "Pallas alignment contract (see Domain.pad_for_tiles)")
@@ -205,7 +220,8 @@ def godunov_step_pallas(state: FlowState, static: DomainStatic, dt,
     dtype = state.z.dtype
 
     kernel = functools.partial(
-        _kernel, params=params, tile_rows=tile_rows, rows=rows, cols=cols,
+        _kernel, scheme=scheme, params=params, tile_rows=tile_rows,
+        rows=rows, cols=cols,
         logical_rows=logical_rows or rows, logical_cols=logical_cols or cols,
         simplified_speed=simplified_speed)
 
@@ -241,3 +257,17 @@ def godunov_step_pallas(state: FlowState, static: DomainStatic, dt,
       static.zb, static.manning)
 
     return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)
+
+
+def godunov_step_pallas(state, static, dt, params, simplified_speed=False,
+                        tile_rows=None, interpret=False, logical_rows=None,
+                        logical_cols=None):
+    """Back-compat alias for the first-order kernel."""
+    return stencil_step_pallas("godunov", state, static, dt, params,
+                               simplified_speed, tile_rows, interpret,
+                               logical_rows, logical_cols)
+
+
+# Unjitted callable for use inside enclosing jitted scans.
+godunov_step_pallas.__wrapped__ = functools.partial(
+    stencil_step_pallas.__wrapped__, "godunov")

@@ -9,13 +9,19 @@ both the reconstructed surface ``z`` and the local bed ``zb`` by the same
 amount, and algebra shows it changes the momentum-pressure flux by an
 additive constant
 
-    C(s) = 0.5 * g * s * (2 * zb_max - s)
+    C = -0.5 * g * zb_local^2,   zb_local = zb_max - s = min(zb_max, z_cell)
 
-identical for the left flux, the right flux, and the HLLC middle-state flux,
-while the mass flux, wave speeds and branch selection are shift-invariant.
-We therefore solve each Riemann problem ONCE per interface with s = 0 and let
-the per-cell update add C(s_cell) — exactly reproducing the reference's
-per-cell answer with half the flux work and no interleaved AoS loads.
+identical for the left flux, the right flux, the HLLC middle-state flux and
+the both-dry flux, while the mass flux, wave speeds and branch selection are
+shift-invariant.  (Derivation: the pressure term 0.5 g (z'^2 - 2 zb' z')
+with z' = h + zb' equals 0.5 g h^2 - 0.5 g zb'^2.)  We therefore solve each
+Riemann problem ONCE per interface keeping only the shift-invariant
+0.5 g h^2 pressure part, and let the per-cell update add C — exactly
+reproducing the reference's per-cell answer with half the flux work.
+Crucially, every quantity stays at local-terrain magnitude: evaluating the
+shifted fluxes naively and correcting afterwards would catastrophically
+cancel at closed-wall cells (bed 9999.9), where the uncorrected pressure
+terms reach ~5e8.
 
 All inputs are arrays over interfaces; "along" denotes the axis normal to the
 interface, "cross" the tangential axis.
@@ -35,10 +41,11 @@ class InterfaceFlux(NamedTuple):
     """Shared (shift-free) interface solution.
 
     mass:    flux of z (volume)                 -- shift-invariant
-    along:   flux of along-axis discharge       -- add C(s) per cell
+    along:   flux of along-axis discharge with the 0.5 g h^2 pressure part
+             only; each cell adds its datum term C = -0.5 g zb_local^2
     cross:   flux of cross-axis discharge       -- shift-invariant
     zbm:     max bed elevation at the interface (pre-shift local datum)
-    zl, zr:  reconstructed surface levels either side (pre-shift)
+    hl, hr:  reconstructed depths either side (shift-invariant)
     stop_l:  wet/dry stopping condition seen by the left cell
     stop_r:  wet/dry stopping condition seen by the right cell
     """
@@ -47,8 +54,8 @@ class InterfaceFlux(NamedTuple):
     along: jax.Array
     cross: jax.Array
     zbm: jax.Array
-    zl: jax.Array
-    zr: jax.Array
+    hl: jax.Array
+    hr: jax.Array
     stop_l: jax.Array
     stop_r: jax.Array
 
@@ -83,14 +90,12 @@ def solve_interfaces(zl, zbl, qal, qcl, zr, zbr, qar, qcr,
     zbm = jnp.maximum(zbl, zbr)
     hl = jnp.maximum(zl - zbm, 0.0)
     hr = jnp.maximum(zr - zbm, 0.0)
-    zlr = hl + zbm
-    zrr = hr + zbm
     qal_r = hl * ual
     qcl_r = hl * ucl
     qar_r = hr * uar
     qcr_r = hr * ucr
 
-    return _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+    return _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
                  ual, ucl, uar, ucr, qal, qar, vs)
 
 
@@ -116,20 +121,19 @@ def solve_interfaces_muscl(zl_e, hl_e, qal_e, qcl_e,
     zbm = jnp.maximum(zl_e - hl_e, zr_e - hr_e)
     hl = jnp.maximum(zl_e - zbm, 0.0)
     hr = jnp.maximum(zr_e - zbm, 0.0)
-    zlr = hl + zbm
-    zrr = hr + zbm
     qal_r = hl * ual
     qcl_r = hl * ucl
     qar_r = hr * uar
     qcr_r = hr * ucr
 
-    return _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+    return _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
                  ual, ucl, uar, ucr, qal_cell, qar_cell, vs)
 
 
-def _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
+def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
           ual, ucl, uar, ucr, qal_raw, qar_raw, vs) -> InterfaceFlux:
-    """Shared HLLC core on reconstructed states (shift-free datum)."""
+    """Shared HLLC core on reconstructed states (depth form; the per-cell
+    datum term -0.5 g zb_local^2 is added by the caller)."""
     g = GRAVITY
 
     # Stopping conditions ("prevent draining from a dry cell").  The two
@@ -161,9 +165,10 @@ def _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
     sm_den = hr * (vr - s_r) - hl * (vl - s_l)
     s_m = _safe_div(s_l * hr * (vr - s_r) - s_r * hl * (vl - s_l), sm_den)
 
-    # Pressure term with the shift-free datum: 0.5 g (z^2 - 2 zb z).
-    p_l = 0.5 * g * (zlr * zlr - 2.0 * zbm * zlr)
-    p_r = 0.5 * g * (zrr * zrr - 2.0 * zbm * zrr)
+    # Shift-invariant pressure part: 0.5 g h^2 (the datum term
+    # -0.5 g zb_local^2 is per-cell and added at assembly).
+    p_l = 0.5 * g * hl * hl
+    p_r = 0.5 * g * hr * hr
 
     fl_mass = qal_r
     fl_along = vl * qal_r + p_l
@@ -173,7 +178,7 @@ def _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
     fr_cross = vr * qcr_r
 
     sdiff = s_r - s_l
-    f1_m = _safe_div(s_r * fl_mass - s_l * fr_mass + s_l * s_r * (zrr - zlr),
+    f1_m = _safe_div(s_r * fl_mass - s_l * fr_mass + s_l * s_r * (hr - hl),
                      sdiff)
     f2_m = _safe_div(s_r * fl_along - s_l * fr_along
                      + s_l * s_r * (fr_mass - fl_mass), sdiff)
@@ -191,27 +196,29 @@ def _hllc(hl, hr, zlr, zrr, zbm, qal_r, qcl_r, qar_r, qcr_r,
                       jnp.where(b_right, fr_cross,
                                 jnp.where(b_mid1, f1_m * wl, f1_m * wr)))
 
-    # Both sides dry: hydrostatic pressure only (both z's equal zbm here, but
-    # keep the reference's exact expression).
+    # Both sides dry: hydrostatic pressure only.  The reference expression
+    # 0.5 g (((zl+zr)/2)^2 - zbm (zl+zr)) equals 0.25 g (hl+hr)^2 / 2
+    # - 0.5 g zbm^2; the datum part is again the per-cell C term.
     both_dry = (hl < vs) & (hr < vs)
-    zsum = zlr + zrr
-    dry_along = 0.5 * g * (0.25 * zsum * zsum - zbm * zsum)
+    hsum = hl + hr
+    dry_along = 0.5 * g * 0.25 * hsum * hsum
     mass = jnp.where(both_dry, 0.0, mass)
     along = jnp.where(both_dry, dry_along, along)
     cross = jnp.where(both_dry, 0.0, cross)
 
     return InterfaceFlux(mass=mass, along=along, cross=cross, zbm=zbm,
-                         zl=zlr, zr=zrr, stop_l=stop_l, stop_r=stop_r)
+                         hl=hl, hr=hr, stop_l=stop_l, stop_r=stop_r)
 
 
-def shift_correction(z_cell, zbm, very_small=None):
-    """Per-cell datum shift s and its additive momentum-flux correction C(s).
+def local_datum(z_cell, zbm):
+    """Per-cell local datum and its additive momentum-flux term.
 
-    s = max(0, zb_max(interface) - z_cell); C(s) = 0.5 g s (2 zb_max - s).
-    Adding C(s) to the shared ``along`` flux reproduces the reference's
-    shifted-datum flux exactly (see module docstring).
-    Returns (s, C).
+    zb_local = zb_max - shift = min(zb_max, z_cell);
+    C = -0.5 g zb_local^2.  Adding C to the shared depth-form ``along``
+    flux reproduces the reference's shifted-datum flux exactly (see module
+    docstring) with every term at local-terrain magnitude.
+    Returns (zb_local, C).
     """
-    s = jnp.maximum(zbm - z_cell, 0.0)
-    c = 0.5 * GRAVITY * s * (2.0 * zbm - s)
-    return s, c
+    zb_local = jnp.minimum(zbm, z_cell)
+    c = -0.5 * GRAVITY * zb_local * zb_local
+    return zb_local, c

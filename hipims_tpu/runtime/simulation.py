@@ -83,14 +83,13 @@ class Simulation:
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = ("pallas" if (on_tpu and mesh is None
-                                    and config.dtype == "float32"
-                                    and self.scheme.name == "godunov")
+                                    and config.dtype == "float32")
                        else "xla")
         if backend == "pallas":
             domain.pad_for_tiles()
         self.state, self.static = domain.build(dtype=dtype)
-        if backend == "pallas" and not _pallas.supports(domain.rows,
-                                                        domain.cols):
+        if backend == "pallas" and not _pallas.supports(
+                domain.rows, domain.cols, scheme=self.scheme.name):
             backend = "xla"
         self.backend = backend
         self.carry = initial_carry(dtype, dt0=config.initial_timestep)
@@ -128,8 +127,9 @@ class Simulation:
         end_time = self.config.duration
         use_pallas = self.backend == "pallas"
         logical = (self.domain.logical_rows, self.domain.logical_cols)
+        scheme_name = self.scheme.name
         if use_pallas:
-            from ..ops.pallas.stencil import godunov_step_pallas
+            from ..ops.pallas.stencil import stencil_step_pallas
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state", "carry"))
@@ -141,8 +141,8 @@ class Simulation:
                                          carry.t, carry.dt, carry.t_hydro,
                                          params)
                 if use_pallas:
-                    state, speed = godunov_step_pallas.__wrapped__(
-                        state, static, carry.dt, params,
+                    state, speed = stencil_step_pallas.__wrapped__(
+                        scheme_name, state, static, carry.dt, params,
                         ts_params.simplified_speed, None, False,
                         logical[0], logical[1])
                 else:

@@ -54,3 +54,29 @@ def test_supports_contract():
     assert not supports(66, 128)       # rows not 8-aligned
     assert not supports(64, 100)       # cols not lane-aligned
     assert not supports(8, 128, 8)     # single tile
+
+
+@pytest.mark.parametrize("scheme", ["muscl-hancock", "inertial"])
+def test_pallas_other_schemes_match_xla(scheme):
+    from hipims_tpu.models import get_scheme
+    from hipims_tpu.ops.pallas.stencil import stencil_step_pallas
+
+    z, zmax, qx, qy, zb, n = random_domain(5, rows=32, cols=128)
+    state = FlowState(*[np.asarray(a) for a in (z, zmax, qx, qy)])
+    static = DomainStatic(zb=zb, manning=n)
+    params = SchemeParams(dx=2.0, dy=2.0)
+    dt = 0.05
+
+    sch = get_scheme(scheme)
+    want = sch.step(state, static, dt, params)
+    got, speed = stencil_step_pallas(scheme, state, static, dt, params,
+                                     simplified_speed=sch.simplified_speed,
+                                     tile_rows=8, interpret=True)
+    for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+
+    want_speed = max_wave_speed(want.z, want.zmax, want.qx, want.qy,
+                                static.zb, params.quite_small,
+                                sch.simplified_speed)
+    assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
