@@ -56,6 +56,10 @@ class SimulationConfig:
     batch_target_seconds: float = 0.5
     sync_tolerance: float = 1e-5        # output-time match tolerance
     kernel_backend: str = "auto"        # "auto" | "xla" | "pallas"
+    sync_method: str = "timestep"       # mesh mode: "timestep" (per-step
+                                        # GSPMD halos) | "forecast"
+                                        # (halo-deep windows)
+    forecast_window: int = 8            # steps per exchange in forecast
 
 
 class Simulation:
@@ -112,7 +116,21 @@ class Simulation:
             fixed_dt=config.fixed_timestep,
             simplified_speed=self.scheme.simplified_speed)
 
-        self._run_batch = self._build_run_batch()
+        if mesh is not None and config.sync_method == "forecast":
+            from ..parallel.halo_deep import build_halo_deep_batch
+            if any(type(b).__name__ == "CellBoundary"
+                   for b in self.boundaries):
+                raise ValueError("cell boundaries need global scatter; use "
+                                 "sync_method='timestep'")
+            self._run_batch = build_halo_deep_batch(
+                mesh, self.scheme, self.params, self.ts_params,
+                self.boundaries, self.config.duration,
+                config.forecast_window,
+                domain.logical_rows, domain.logical_cols)
+            self._steps_per_unit = config.forecast_window
+        else:
+            self._run_batch = self._build_run_batch()
+            self._steps_per_unit = 1
         self._batch_size = max(1, int(config.batch_size))
         self.total_steps = 0
         self.total_skipped = 0

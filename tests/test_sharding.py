@@ -71,3 +71,50 @@ def test_sharded_with_rainfall(mesh8):
                                np.asarray(ref.state.z), rtol=1e-9,
                                atol=2e-9)
     assert shd.volume() > 0
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock"])
+def test_forecast_halo_deep_matches_timestep(scheme, mesh8):
+    """Halo-deep (forecast) windows must reproduce per-step GSPMD halos."""
+    def build(sync):
+        dom = circular_dam_domain(n=64)
+        cfg = SimulationConfig(scheme=scheme, duration=3.0,
+                               output_frequency=3.0, friction=True,
+                               batch_size=4, batch_auto=False,
+                               sync_method=sync, forecast_window=5)
+        return Simulation(dom, cfg, mesh=mesh8)
+
+    ref = build("timestep")
+    ref.run()
+    fc = build("forecast")
+    fc.run()
+    assert fc.t == pytest.approx(ref.t, abs=1e-9)
+    for a, b, name in zip(ref.state, fc.state, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=5e-9, err_msg=name)
+
+
+def test_forecast_with_rainfall(mesh8):
+    from hipims_tpu.domain import Domain
+    from hipims_tpu.ops.boundaries import UniformBoundary
+
+    n = 48
+    rain = UniformBoundary(values=np.full(10, 50.0), interval=600.0,
+                           length=6000.0, is_loss=False)
+
+    def build(sync):
+        dom = Domain(zb=np.zeros((n, n)), manning=0.03, dx=2.0, dy=2.0)
+        dom.set_initial_depth(0.0)
+        cfg = SimulationConfig(scheme="godunov", duration=30.0,
+                               output_frequency=30.0, batch_size=8,
+                               batch_auto=False, sync_method=sync,
+                               forecast_window=4)
+        return Simulation(dom, cfg, boundaries=(rain,), mesh=mesh8)
+
+    ref = build("timestep")
+    ref.run()
+    fc = build("forecast")
+    fc.run()
+    np.testing.assert_allclose(np.asarray(fc.state.z),
+                               np.asarray(ref.state.z), rtol=1e-9,
+                               atol=2e-9)
