@@ -1,0 +1,134 @@
+"""Embedding API — the equivalent of the reference's DLL surface.
+
+The reference exports a C API for a Windows GUI (reference: src/main.h:99-154
+SimulationLoad/Launch/Close/Abort, GetDeviceName/Count/Current,
+GetDomainInfo; src/main.cpp:161-371).  This module provides the same
+lifecycle for embedding the simulator in other Python applications or
+services: load a model, launch it (optionally in a background thread),
+poll progress, fetch field snapshots, abort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DomainInfo:
+    """Mirror of the reference's structDomainInfo (src/main.h:60-78)."""
+
+    rows: int
+    cols: int
+    resolution: float
+    xll: float
+    yll: float
+    cell_count: int
+    scheme: str
+    precision: str
+
+
+class SimulationHandle:
+    """One loaded simulation with launch/abort lifecycle."""
+
+    def __init__(self, model, mesh=None):
+        self._model = model
+        self._sim = model.simulation(mesh=mesh)
+        self._thread: Optional[threading.Thread] = None
+        self._abort = threading.Event()
+        self._error: Optional[BaseException] = None
+
+    # -- reference: SimulationLaunch (main.cpp:202-230) -----------------
+    def launch(self, blocking=True):
+        if blocking:
+            self._sim.run(progress=self._progress_cb)
+            return self
+        self._thread = threading.Thread(target=self._run_bg, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run_bg(self):
+        try:
+            self._sim.run(progress=self._progress_cb)
+        except _Aborted:
+            pass
+        except BaseException as e:      # surfaced via .error
+            self._error = e
+
+    def _progress_cb(self, sim, t_now, elapsed):
+        if self._abort.is_set():
+            raise _Aborted()
+
+    # -- reference: SimulationAbort (main.cpp:246-258) ------------------
+    def abort(self):
+        self._abort.set()
+        if self._thread is not None:
+            self._thread.join()
+
+    # -- reference: SimulationClose (main.cpp:232-244) ------------------
+    def close(self):
+        self.abort()
+        self._sim = None
+
+    # -- polling ---------------------------------------------------------
+    @property
+    def time(self) -> float:
+        return self._sim.t
+
+    @property
+    def progress(self) -> float:
+        return min(1.0, self._sim.t / self._sim.config.duration)
+
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    @property
+    def error(self):
+        return self._error
+
+    # -- reference: GetDomainInfo (main.cpp:330-367) ---------------------
+    def domain_info(self) -> DomainInfo:
+        d = self._sim.domain
+        return DomainInfo(rows=d.logical_rows, cols=d.logical_cols,
+                          resolution=d.dx, xll=d.xll, yll=d.yll,
+                          cell_count=d.logical_rows * d.logical_cols,
+                          scheme=self._sim.config.scheme,
+                          precision=self._sim.config.dtype)
+
+    # -- field access (the DLL's visualisation callbacks) ----------------
+    def field(self, value: str) -> np.ndarray:
+        from .runtime.output import derive_field
+        return derive_field(value, self._sim.state_logical,
+                            self._sim.static_logical, self._sim.domain.dx)
+
+    @property
+    def simulation(self):
+        return self._sim
+
+
+class _Aborted(Exception):
+    pass
+
+
+def simulation_load(config_file, mesh=None) -> SimulationHandle:
+    """Load an XML model configuration (reference: SimulationLoad,
+    src/main.cpp:180-200)."""
+    from .io.xml_config import load_config
+    return SimulationHandle(load_config(config_file), mesh=mesh)
+
+
+def device_count() -> int:
+    """Reference: GetDeviceCount (src/main.cpp:294-308)."""
+    import jax
+    return len(jax.devices())
+
+
+def device_name(index: int = 0) -> str:
+    """Reference: GetDeviceName (src/main.cpp:262-292)."""
+    import jax
+    d = jax.devices()[index]
+    return f"{d.platform}:{d.device_kind}"

@@ -14,6 +14,7 @@ declares but never parses it — SURVEY.md "known quirks").
 from __future__ import annotations
 
 import dataclasses
+import datetime
 import os
 import xml.etree.ElementTree as ET
 from pathlib import Path
@@ -77,6 +78,17 @@ def load_config(path) -> LoadedModel:
                                                 cfg.duration))
     precision = sim_params.get("floatingpointprecision", "double").lower()
     cfg.dtype = "float64" if precision in ("double", "float64") else "float32"
+
+    # Real-world start time (drives strftime masks for gridded boundaries;
+    # reference: src/CModel.cpp:90-92 "realstart" + Util::fromTimestamp).
+    real_start = None
+    rs_el = None
+    for pel in sim_el.findall("parameter"):
+        if pel.get("name", "").strip().lower() == "realstart":
+            rs_el = pel
+    if rs_el is not None:
+        fmt = rs_el.get("format", "%Y-%m-%d %H:%M:%S")
+        real_start = datetime.datetime.strptime(rs_el.get("value"), fmt)
 
     dom_el = sim_el.find("domainSet/domain")
     if dom_el is None:
@@ -194,7 +206,8 @@ def load_config(path) -> LoadedModel:
             if edge in domain.edge_treatment:
                 domain.edge_treatment[edge] = treatment
         for ts in bc_el.findall("timeseries"):
-            bounds.append(_parse_timeseries(ts, bc_dir, shared_map, domain))
+            bounds.append(_parse_timeseries(ts, bc_dir, shared_map, domain,
+                                            cfg.duration, real_start))
 
     return LoadedModel(name=name, description=desc, domain=domain,
                        config=cfg, boundaries=[b for b in bounds if b],
@@ -202,7 +215,8 @@ def load_config(path) -> LoadedModel:
 
 
 def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
-                      domain: Domain):
+                      domain: Domain, duration: float = 0.0,
+                      real_start=None):
     kind = (ts.get("type") or "").strip().lower()
     value = (ts.get("value") or "").strip().lower()
     source = ts.get("source") or ""
@@ -249,11 +263,54 @@ def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
                               depth_mode=depth_mode, discharge_mode=dmode)
 
     if kind in ("gridded", "spatially-varying"):
-        raise NotImplementedError(
-            "gridded boundary from config requires a raster series; use "
-            "GriddedBoundary directly")
+        return _parse_gridded(ts, bc_dir, domain, duration, real_start)
 
     raise ValueError(f"unknown timeseries type '{kind}'")
+
+
+def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,
+                   real_start):
+    """Time-stamped raster series: filenames from a strftime mask evaluated
+    at realStart + t (reference: src/Boundaries/CBoundaryGridded.cpp:116-153
+    + Util::fromTimestamp).  Missing files truncate the series length, as in
+    the reference."""
+    import datetime
+
+    value = (ts.get("value") or "rain-intensity").strip().lower()
+    mask = ts.get("mask") or ts.get("source")
+    interval = float(ts.get("interval", "3600"))
+    if real_start is None:
+        real_start = datetime.datetime(1970, 1, 1)
+
+    frames = []
+    first = None
+    length = duration
+    t = 0.0
+    while t <= duration:
+        name = (real_start
+                + datetime.timedelta(seconds=t)).strftime(mask)
+        path = bc_dir / name
+        if not path.exists():
+            length = min(length, t)
+            t += interval
+            continue
+        rast = read_raster(path)
+        if first is None:
+            first = rast
+        frames.append(rast.data[::-1, :])   # domain orientation (south-up)
+        t += interval
+
+    if first is None:
+        raise ValueError(f"no gridded boundary rasters found for '{mask}'")
+
+    series = np.stack(frames)
+    return B.GriddedBoundary(
+        series=series,
+        interval=interval,
+        resolution=first.cell_size,
+        offset_x=first.xll - domain.xll,
+        offset_y=first.yll - domain.yll,
+        mass_flux=(value == "mass-flux"))
 
 
 def _read_cell_map(path: Path, name: str):

@@ -1,0 +1,89 @@
+"""Checkpoint / resume.
+
+The reference has no simulation-clock resume (SURVEY.md section 5 — its
+closest artifacts are the rollback host snapshot and re-feeding output
+rasters as initial conditions).  Here a checkpoint captures the full
+prognostic state plus the time controller, so a run resumes exactly:
+same t, same dt, same hydrological accumulator, same batch counters.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..state import FlowState, StepCarry
+
+
+CHECKPOINT_VERSION = 1
+
+
+def save_checkpoint(path, sim):
+    """Write the simulation's resumable state to an .npz file."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    meta = dict(
+        version=CHECKPOINT_VERSION,
+        scheme=sim.config.scheme,
+        dtype=sim.config.dtype,
+        rows=sim.domain.rows,
+        cols=sim.domain.cols,
+        logical_rows=sim.domain.logical_rows,
+        logical_cols=sim.domain.logical_cols,
+        duration=sim.config.duration,
+    )
+    np.savez_compressed(
+        path,
+        meta=json.dumps(meta),
+        z=np.asarray(sim.state.z),
+        zmax=np.asarray(sim.state.zmax),
+        qx=np.asarray(sim.state.qx),
+        qy=np.asarray(sim.state.qy),
+        t=np.asarray(sim.carry.t),
+        dt=np.asarray(sim.carry.dt),
+        t_hydro=np.asarray(sim.carry.t_hydro),
+        batch_dt_total=np.asarray(sim.carry.batch_dt_total),
+        batch_successful=np.asarray(sim.carry.batch_successful),
+        batch_skipped=np.asarray(sim.carry.batch_skipped),
+    )
+
+
+def load_checkpoint(path, sim):
+    """Restore a checkpoint into an existing (compatible) Simulation."""
+    import jax.numpy as jnp
+
+    with np.load(Path(path), allow_pickle=False) as data:
+        meta = json.loads(str(data["meta"]))
+        if meta["version"] != CHECKPOINT_VERSION:
+            raise ValueError(f"unsupported checkpoint version "
+                             f"{meta['version']}")
+        if (meta["rows"], meta["cols"]) != (sim.domain.rows,
+                                            sim.domain.cols):
+            raise ValueError(
+                f"checkpoint grid {meta['rows']}x{meta['cols']} does not "
+                f"match simulation {sim.domain.rows}x{sim.domain.cols}")
+        if meta["scheme"] != sim.config.scheme:
+            raise ValueError(f"checkpoint scheme '{meta['scheme']}' != "
+                             f"'{sim.config.scheme}'")
+        dt_arr = jnp.asarray
+        sim.state = FlowState(
+            z=dt_arr(data["z"], dtype=sim.dtype),
+            zmax=dt_arr(data["zmax"], dtype=sim.dtype),
+            qx=dt_arr(data["qx"], dtype=sim.dtype),
+            qy=dt_arr(data["qy"], dtype=sim.dtype))
+        sim.carry = StepCarry(
+            t=dt_arr(data["t"], dtype=sim.dtype),
+            dt=dt_arr(data["dt"], dtype=sim.dtype),
+            t_hydro=dt_arr(data["t_hydro"], dtype=sim.dtype),
+            batch_dt_total=dt_arr(data["batch_dt_total"], dtype=sim.dtype),
+            batch_successful=jnp.asarray(data["batch_successful"]),
+            batch_skipped=jnp.asarray(data["batch_skipped"]))
+        if sim.mesh is not None:
+            from ..parallel.mesh import grid_sharding
+            import jax
+            gs = grid_sharding(sim.mesh)
+            sim.state = FlowState(*(jax.device_put(a, gs)
+                                    for a in sim.state))
+    return sim
