@@ -78,7 +78,14 @@ def _read_entries(buf, off):
 
 
 def _decode_rlc(block: bytes, dtype: np.dtype, count: int) -> np.ndarray:
-    """ESRI RLC decompression of one block."""
+    """ESRI RLC decompression of one block (native codec when available,
+    numpy/Python fallback otherwise)."""
+    from ..native import decode_rlc_native
+    native = decode_rlc_native(block, count)
+    if native is not None:
+        nbits = block[12]
+        return _reinterpret(native.astype(np.uint64), dtype, nbits)[:count]
+
     dmin, nruns, doff = struct.unpack("<Iii", block[:12])
     nbits = block[12]
 

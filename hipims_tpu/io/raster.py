@@ -82,14 +82,20 @@ def _read_asc(path: Path) -> Raster:
 
 
 def _write_asc(path: Path, raster: Raster):
-    with open(path, "w") as f:
-        f.write(f"ncols {raster.cols}\n")
-        f.write(f"nrows {raster.rows}\n")
-        f.write(f"xllcorner {raster.xll}\n")
-        f.write(f"yllcorner {raster.yll}\n")
-        f.write(f"cellsize {raster.cell_size}\n")
-        f.write(f"NODATA_value {raster.nodata}\n")
-        np.savetxt(f, raster.data, fmt="%.6f")
+    header = (f"ncols {raster.cols}\n"
+              f"nrows {raster.rows}\n"
+              f"xllcorner {raster.xll}\n"
+              f"yllcorner {raster.yll}\n"
+              f"cellsize {raster.cell_size}\n"
+              f"NODATA_value {raster.nodata}\n")
+    from ..native import asc_format_native
+    body = asc_format_native(np.asarray(raster.data, dtype=np.float64))
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if body is not None:
+            f.write(body)
+        else:
+            np.savetxt(f, raster.data, fmt="%.6f")
 
 
 # ------------------------------------------------------------- GeoTIFF ----

@@ -145,3 +145,27 @@ def test_cli_runs(tmp_path, capsys):
     p.write_text(xml)
     from hipims_tpu.cli import main
     assert main(["--config-file", str(p), "--disable-screen"]) == 0
+
+
+def test_native_codec_matches_python():
+    """Native RLC decode and ASC formatter agree with the Python paths."""
+    from hipims_tpu.native import (asc_format_native, decode_rlc_native,
+                                   get_lib)
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    # RLC parity on the real reference DEM blocks.
+    from pathlib import Path
+    dem = Path("/root/reference/test/newcastle-centre/topography/"
+               "NewcastleCentreDEM_2m.img")
+    if dem.exists():
+        from hipims_tpu.io.hfa import read_hfa
+        r = read_hfa(dem)   # exercises native path
+        assert r.data.shape == (195, 342)
+        assert float(r.data.mean()) == pytest.approx(56.567615, rel=1e-6)
+
+    data = np.random.default_rng(0).uniform(-5, 5, (13, 17))
+    body = asc_format_native(data)
+    assert body is not None
+    parsed = np.loadtxt(body.decode().splitlines())
+    np.testing.assert_allclose(parsed, data, atol=1e-6)
