@@ -132,56 +132,53 @@ def muscl_predictor_interior(z, zmax, qx, qy, zb, dt,
     return tuple(pick(ex) for ex in (ex_n1, ex_e1, ex_s1, ex_w1))
 
 
-def _pad_ring(slab):
-    """Pad a (M-2, Cc-2) per-cell slab back to (M, Cc) with a zero ring
-    (ring extraps are never consumed by the corrector)."""
-    m2, c2 = slab.shape
-    zrow = jnp.zeros((1, c2), dtype=slab.dtype)
-    v = jnp.concatenate([zrow, slab, zrow], axis=0)
-    zcol = jnp.zeros((m2 + 2, 1), dtype=slab.dtype)
-    return jnp.concatenate([zcol, v, zcol], axis=1)
-
-
-def muscl_corrector_interior(z, zmax, qx, qy, zb, n, faces, dt,
+def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
                              params: SchemeParams):
     """Full-timestep corrector for the two-ring interior of (M, Cc) arrays.
 
-    ``faces`` are full-size (M, Cc) FaceExtrap arrays (ring values unused).
-    Returns the four updated (M-4, Cc-4) interior fields.
+    ``slabs`` are the predictor's (M-2, Cc-2) FaceExtrap slabs, where
+    slab[j, i] belongs to cell (j+1, i+1) (no ring padding — the ring
+    extraps are never consumed, and Mosaic cannot lower the padding
+    concatenate anyway).  Returns the four updated (M-4, Cc-4) interior
+    fields.
     """
     vs = params.very_small
-    ex_n, ex_e, ex_s, ex_w = faces
+    ex_n, ex_e, ex_s, ex_w = slabs
 
-    # x-axis interfaces: left cell's E estimate vs right cell's W estimate.
+    # x-axis interfaces between cells (r, c)|(r, c+1), c in [1, Cc-3):
+    # left cell's E estimate vs right cell's W estimate; raw discharges
+    # from the corresponding cells.
     fx = solve_interfaces_muscl(
         ex_e.z[:, :-1], ex_e.h[:, :-1], ex_e.qx[:, :-1], ex_e.qy[:, :-1],
         ex_w.z[:, 1:], ex_w.h[:, 1:], ex_w.qx[:, 1:], ex_w.qy[:, 1:],
-        qx[:, :-1], qx[:, 1:], vs)
+        qx[1:-1, 1:-2], qx[1:-1, 2:-1], vs)
     # y-axis interfaces: south cell's N estimate vs north cell's S estimate;
     # along-axis discharge is qy, cross is qx.
     fy = solve_interfaces_muscl(
         ex_n.z[:-1, :], ex_n.h[:-1, :], ex_n.qy[:-1, :], ex_n.qx[:-1, :],
         ex_s.z[1:, :], ex_s.h[1:, :], ex_s.qy[1:, :], ex_s.qx[1:, :],
-        qy[:-1, :], qy[1:, :], vs)
+        qy[1:-2, 1:-1], qy[2:-1, 1:-1], vs)
 
     sl = (slice(2, -2), slice(2, -2))
+    slab_sl = (slice(1, -1), slice(1, -1))   # cells [2, M-2) in slab coords
     zc = z[sl]
     zbc = zb[sl]
 
     def face(fl, idx):
         return type(fl)(*(a[idx] for a in fl))
 
-    f_e = face(fx, (slice(2, -2), slice(2, -1)))
-    f_w = face(fx, (slice(2, -2), slice(1, -2)))
-    f_n = face(fy, (slice(2, -1), slice(2, -2)))
-    f_s = face(fy, (slice(1, -2), slice(2, -2)))
+    # fx shape (M-2, Cc-3): interface k <-> cells (c, c+1) with c = k+1.
+    f_e = face(fx, (slice(1, -1), slice(1, None)))
+    f_w = face(fx, (slice(1, -1), slice(None, -1)))
+    f_n = face(fy, (slice(1, None), slice(1, -1)))
+    f_s = face(fy, (slice(None, -1), slice(1, -1)))
 
     # Per-cell local datum from the cell's own face-extrapolated surface
     # estimate (reference: src/Schemes/CLSchemeMUSCLHancock.clc:1156).
-    zb_e, c_e = local_datum(ex_e.z[sl], f_e.zbm)
-    zb_w, c_w = local_datum(ex_w.z[sl], f_w.zbm)
-    zb_n, c_n = local_datum(ex_n.z[sl], f_n.zbm)
-    zb_s, c_s = local_datum(ex_s.z[sl], f_s.zbm)
+    zb_e, c_e = local_datum(ex_e.z[slab_sl], f_e.zbm)
+    zb_w, c_w = local_datum(ex_w.z[slab_sl], f_w.zbm)
+    zb_n, c_n = local_datum(ex_n.z[slab_sl], f_n.zbm)
+    zb_s, c_s = local_datum(ex_s.z[slab_sl], f_s.zbm)
 
     inv_dx, inv_dy = 1.0 / params.dx, 1.0 / params.dy
     z_e = f_e.hr + zb_e
@@ -240,9 +237,7 @@ def muscl_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
     """Predictor + corrector on halo-extended arrays (radius 2): input
     (M, Cc) arrays, output the four updated (M-4, Cc-4) interior fields."""
     slabs = muscl_predictor_interior(z, zmax, qx, qy, zb, dt, params)
-    faces = tuple(FaceExtrap(*(jnp.asarray(_pad_ring(a)) for a in s))
-                  for s in slabs)
-    return muscl_corrector_interior(z, zmax, qx, qy, zb, n, faces, dt,
+    return muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
                                     params)
 
 
