@@ -90,9 +90,21 @@ def load_config(path) -> LoadedModel:
         fmt = rs_el.get("format", "%Y-%m-%d %H:%M:%S")
         real_start = datetime.datetime.strptime(rs_el.get("value"), fmt)
 
-    dom_el = sim_el.find("domainSet/domain")
-    if dom_el is None:
+    domain_set = sim_el.find("domainSet")
+    dom_els = domain_set.findall("domain") if domain_set is not None else []
+    if not dom_els:
         raise ValueError(f"{path}: missing <domain>")
+    dom_el = dom_els[0]
+    # The reference's multi-domain decomposition splits one logical grid
+    # into overlapping per-device rasters (tools/model-builder --decompose;
+    # src/Domain/CDomainManager.cpp:170-241).  On TPU the devices share one
+    # sharded grid, so multiple <domain> entries are stitched back into
+    # their union extent; <domainSet syncMethod> selects the mesh sync
+    # discipline (kSyncTimestep / kSyncForecast, src/Schemes/CScheme.h:57).
+    sync_method = (domain_set.get("syncMethod", "forecast")
+                   if domain_set is not None else "timestep").strip().lower()
+    cfg.sync_method = ("forecast" if sync_method.startswith("forecast")
+                       else "timestep")
 
     data_el = dom_el.find("data")
     source_dir = base / (data_el.get("sourceDir", "") if data_el is not None
@@ -127,6 +139,9 @@ def load_config(path) -> LoadedModel:
 
     if structure is None:
         raise ValueError(f"{path}: no structure/dem raster source")
+
+    if len(dom_els) > 1:
+        structure = _stitch_domains(dom_els, base, structure)
 
     zb = structure.to_domain_array().astype(np.float64)
     nodata = structure.nodata if structure.nodata is not None else -9999.0
@@ -266,6 +281,43 @@ def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
         return _parse_gridded(ts, bc_dir, domain, duration, real_start)
 
     raise ValueError(f"unknown timeseries type '{kind}'")
+
+
+def _stitch_domains(dom_els, base: Path, first):
+    """Composite multiple (overlapping) domain structure rasters into their
+    union grid.  Later domains overwrite the overlap rows, mirroring how
+    the reference's decomposed configs tile one logical model."""
+    from .raster import Raster
+
+    rasters = []
+    for el in dom_els:
+        data_el = el.find("data")
+        sdir = base / data_el.get("sourceDir", "")
+        for src in data_el.findall("dataSource"):
+            values = [v.strip().lower()
+                      for v in src.get("value", "").split(",")]
+            if src.get("type", "raster").strip().lower() != "constant"                     and ("structure" in values or "dem" in values):
+                rasters.append(read_raster(sdir / src.get("source")))
+    cell = rasters[0].cell_size
+    for r in rasters:
+        if abs(r.cell_size - cell) > 1e-9:
+            raise ValueError("multi-domain stitch requires equal resolution")
+    xll = min(r.xll for r in rasters)
+    yll = min(r.yll for r in rasters)
+    x_hi = max(r.xll + r.cols * cell for r in rasters)
+    y_hi = max(r.yll + r.rows * cell for r in rasters)
+    cols = int(round((x_hi - xll) / cell))
+    rows = int(round((y_hi - yll) / cell))
+    union = np.full((rows, cols), rasters[0].nodata
+                    if rasters[0].nodata is not None else -9999.0)
+    for r in rasters:
+        c0 = int(round((r.xll - xll) / cell))
+        r0 = int(round((r.yll - yll) / cell))
+        dom = r.to_domain_array()
+        union[r0:r0 + r.rows, c0:c0 + r.cols] = dom
+    return Raster.from_domain_array(union, xll=xll, yll=yll,
+                                    cell_size=cell,
+                                    nodata=rasters[0].nodata)
 
 
 def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,

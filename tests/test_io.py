@@ -169,3 +169,52 @@ def test_native_codec_matches_python():
     assert body is not None
     parsed = np.loadtxt(body.decode().splitlines())
     np.testing.assert_allclose(parsed, data, atol=1e-6)
+
+
+def test_multi_domain_stitching(tmp_path):
+    """Two overlapping <domain> entries (the reference's decomposed config
+    layout) stitch back into one union grid."""
+    import textwrap
+    # Two 12-row rasters overlapping by 4 rows -> 20-row union.
+    lower = Raster(data=np.full((12, 16), 1.0), xll=0.0, yll=0.0,
+                   cell_size=2.0)
+    upper = Raster(data=np.full((12, 16), 2.0), xll=0.0, yll=16.0,
+                   cell_size=2.0)
+    write_raster(tmp_path / "lower.asc", lower)
+    write_raster(tmp_path / "upper.asc", upper)
+    xml = textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <configuration><metadata><name>Decomposed</name></metadata>
+        <simulation>
+          <parameter name="duration" value="10" />
+          <parameter name="outputFrequency" value="10" />
+          <domainSet syncMethod="timestep">
+            <domain type="cartesian" deviceNumber="1">
+              <data sourceDir="." targetDir="out/">
+                <dataSource type="constant" value="depth" source="0.1" />
+                <dataSource type="constant" value="manningCoefficient"
+                            source="0.03" />
+                <dataSource type="raster" value="structure,dem"
+                            source="lower.asc" />
+              </data>
+              <scheme name="Godunov" />
+            </domain>
+            <domain type="cartesian" deviceNumber="2">
+              <data sourceDir="." targetDir="out/">
+                <dataSource type="raster" value="structure,dem"
+                            source="upper.asc" />
+              </data>
+              <scheme name="Godunov" />
+            </domain>
+          </domainSet>
+        </simulation></configuration>""")
+    (tmp_path / "m.xml").write_text(xml)
+
+    from hipims_tpu.io.xml_config import load_config
+    model = load_config(tmp_path / "m.xml")
+    assert model.config.sync_method == "timestep"
+    assert model.domain.rows == 20 and model.domain.cols == 16
+    zb = model.domain.zb
+    assert zb[0, 0] == 1.0       # lower domain rows
+    assert zb[-1, 0] == 2.0      # upper domain rows
+    assert zb[9, 0] == 2.0       # overlap rows taken from the later domain
