@@ -257,3 +257,89 @@ def muscl_step(state: FlowState, static: DomainStatic, dt,
         qx=qx.at[sl].set(qx_out),
         qy=qy.at[sl].set(qy_out),
     )
+
+
+def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
+                         params: SchemeParams):
+    """Radius-1 corrector over FULL-SIZE face-extrapolation arrays.
+
+    ``faces`` are (M, Cc) FaceExtrap arrays aligned with the state (ring
+    entries may hold first-order placeholders; they are never consumed for
+    valid cells).  Returns the four updated (M-2, Cc-2) interior fields —
+    the caller is responsible for masking the scheme's two-cell static
+    ring.  Used by the split Pallas kernels; numerics identical to
+    muscl_corrector_interior.
+    """
+    vs = params.very_small
+    ex_n, ex_e, ex_s, ex_w = faces
+
+    fx = solve_interfaces_muscl(
+        ex_e.z[:, :-1], ex_e.h[:, :-1], ex_e.qx[:, :-1], ex_e.qy[:, :-1],
+        ex_w.z[:, 1:], ex_w.h[:, 1:], ex_w.qx[:, 1:], ex_w.qy[:, 1:],
+        qx[:, :-1], qx[:, 1:], vs)
+    fy = solve_interfaces_muscl(
+        ex_n.z[:-1, :], ex_n.h[:-1, :], ex_n.qy[:-1, :], ex_n.qx[:-1, :],
+        ex_s.z[1:, :], ex_s.h[1:, :], ex_s.qy[1:, :], ex_s.qx[1:, :],
+        qy[:-1, :], qy[1:, :], vs)
+
+    sl = (slice(1, -1), slice(1, -1))
+    zc = z[sl]
+    zbc = zb[sl]
+
+    def face(fl, idx):
+        return type(fl)(*(a[idx] for a in fl))
+
+    f_e = face(fx, (slice(1, -1), slice(1, None)))
+    f_w = face(fx, (slice(1, -1), slice(None, -1)))
+    f_n = face(fy, (slice(1, None), slice(1, -1)))
+    f_s = face(fy, (slice(None, -1), slice(1, -1)))
+
+    zb_e, c_e = local_datum(ex_e.z[sl], f_e.zbm)
+    zb_w, c_w = local_datum(ex_w.z[sl], f_w.zbm)
+    zb_n, c_n = local_datum(ex_n.z[sl], f_n.zbm)
+    zb_s, c_s = local_datum(ex_s.z[sl], f_s.zbm)
+
+    inv_dx, inv_dy = 1.0 / params.dx, 1.0 / params.dy
+    z_e = f_e.hr + zb_e
+    z_w = f_w.hl + zb_w
+    z_n = f_n.hr + zb_n
+    z_s = f_s.hl + zb_s
+    src_x = -C.GRAVITY * 0.5 * (z_e + z_w) * (zb_e - zb_w) * inv_dx
+    src_y = -C.GRAVITY * 0.5 * (z_n + z_s) * (zb_n - zb_s) * inv_dy
+
+    d_z = (f_e.mass - f_w.mass) * inv_dx + (f_n.mass - f_s.mass) * inv_dy
+    d_qx = (((f_e.along + c_e) - (f_w.along + c_w)) * inv_dx
+            + (f_n.cross - f_s.cross) * inv_dy - src_x)
+    d_qy = ((f_e.cross - f_w.cross) * inv_dx
+            + ((f_n.along + c_n) - (f_s.along + c_s)) * inv_dy - src_y)
+    d_z = _round_small(d_z, vs)
+    d_qx = _round_small(d_qx, vs)
+    d_qy = _round_small(d_qy, vs)
+
+    stop = f_e.stop_l | f_w.stop_r | f_n.stop_l | f_s.stop_r
+    qx_c = jnp.where(stop, 0.0, qx[sl])
+    qy_c = jnp.where(stop, 0.0, qy[sl])
+    z_new = zc - dt * d_z
+    qx_new = qx_c - dt * d_qx
+    qy_new = qy_c - dt * d_qy
+
+    if params.friction:
+        qx_new, qy_new = implicit_friction(
+            z_new, qx_new, qy_new, zbc, n[sl],
+            jnp.maximum(dt, vs), vs)
+
+    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+    zmax_c = zmax[sl]
+    zmax_new = jnp.where((z_new > zmax_c) & (zmax_c > -9990.0),
+                         z_new, zmax_c)
+
+    disabled = (zmax_c <= C.NODATA) | (zc == C.NODATA)
+    dry5 = ((zc - zbc < vs)
+            & (zmax[2:, 1:-1] < vs) & (zmax[:-2, 1:-1] < vs)
+            & (zmax[1:-1, 2:] < vs) & (zmax[1:-1, :-2] < vs))
+    keep = disabled | dry5 | (dt <= 0.0)
+
+    return (jnp.where(keep, zc, z_new),
+            jnp.where(keep, zmax_c, zmax_new),
+            jnp.where(keep, qx[sl], qx_new),
+            jnp.where(keep, qy[sl], qy_new))

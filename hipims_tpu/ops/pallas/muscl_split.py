@@ -1,0 +1,256 @@
+"""MUSCL-Hancock as TWO fused Pallas kernels (predictor / corrector).
+
+The single fused MUSCL kernel (predictor + two interface sweeps + update in
+one body) produces a Mosaic program large enough to stall the TPU kernel
+compiler, so the scheme is split at its natural seam — exactly where the
+reference splits it into mch_1st / mch_2nd kernel launches
+(src/Schemes/CSchemeMUSCLHancock.cpp:646-680):
+
+  * kernel P: per row tile, DMA the five needed fields in (aligned halo),
+    run the half-step predictor in VMEM, write the 16 face-extrapolation
+    planes (4 faces x (z, h, qx, qy));
+  * kernel C: DMA state + extrapolations in, run the corrector + implicit
+    friction + CFL partial max in VMEM, write the 4 updated fields.
+
+HBM traffic ~ (5+16)*4 B in + (16+4)*4 B out ≈ 164 B/cell — double the
+fully-fused ideal but far below the unfused XLA path, and each kernel is
+Godunov-sized so compilation is fast.  Same alignment contract and
+logical-ring masking as ops/pallas/stencil.py; the scheme's static ring is
+TWO cells (reference corrector bounds,
+src/Schemes/CLSchemeMUSCLHancock.clc:568-573).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import constants as C
+from ...state import DomainStatic, FlowState
+from ..godunov import SchemeParams
+from ..muscl import FaceExtrap, muscl_corrector_full, muscl_predictor_interior
+from .stencil import HALO, pick_tile_rows, supports
+
+N_FACE = 16   # 4 faces x (z, h, qx, qy)
+RING = 2      # MUSCL static ring width
+
+
+def _load_cases(ins, scr, sem, t, n_tiles, tr, rows):
+    """Three-case aligned halo load (see stencil.py for the contract)."""
+    n_in = len(ins)
+    is_first = t == 0
+    is_last = t == n_tiles - 1
+    not_first = jnp.logical_not(is_first)
+
+    def first_copy(k):
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(0, tr + HALO)],
+            scr.at[k, pl.ds(HALO, tr + HALO)], sem.at[k])
+
+    def last_copy(k):
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
+            scr.at[k, pl.ds(0, tr + HALO)], sem.at[k])
+
+    def mid_copy(k):
+        start = pl.multiple_of(t * tr - HALO, 8)
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(start, tr + 2 * HALO)], scr.at[k], sem.at[k])
+
+    @pl.when(is_first)
+    def _():
+        for k in range(n_in):
+            first_copy(k).start()
+        for k in range(n_in):
+            first_copy(k).wait()
+
+    @pl.when(not_first & is_last)
+    def _():
+        for k in range(n_in):
+            last_copy(k).start()
+        for k in range(n_in):
+            last_copy(k).wait()
+
+    @pl.when(not_first & jnp.logical_not(is_last))
+    def _():
+        for k in range(n_in):
+            mid_copy(k).start()
+        for k in range(n_in):
+            mid_copy(k).wait()
+
+
+def _store_all(out_scr, outs, sem, t, tr):
+    start = pl.multiple_of(t * tr, 8)
+    for k in range(len(outs)):
+        pltpu.make_async_copy(out_scr.at[k], outs[k].at[pl.ds(start, tr)],
+                              sem.at[k]).start()
+    for k in range(len(outs)):
+        pltpu.make_async_copy(out_scr.at[k], outs[k].at[pl.ds(start, tr)],
+                              sem.at[k]).wait()
+
+
+def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
+    n_in = 5
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + N_FACE]
+    scr = refs[n_in + N_FACE]
+    out_scr = refs[n_in + N_FACE + 1]
+    sem_in = refs[n_in + N_FACE + 2]
+    sem_out = refs[n_in + N_FACE + 3]
+
+    t = pl.program_id(0)
+    tr = tile_rows
+    _load_cases(ins, scr, sem_in, t, pl.num_programs(0), tr, rows)
+
+    w0, w1 = HALO - 1, HALO + tr + 1
+    z, zmax, qx, qy, zb = (scr[k, w0:w1, :] for k in range(n_in))
+    dt = dt_ref[0, 0]
+
+    slabs = muscl_predictor_interior(z, zmax, qx, qy, zb, dt, params)
+
+    # First-order placeholders for the static edge columns (finite, and
+    # exactly what the reference's fallback stores for such cells).
+    inner = (slice(1, -1),)
+    fo = FaceExtrap(z=z[1:-1, :], h=z[1:-1, :] - zb[1:-1, :],
+                    qx=qx[1:-1, :], qy=qy[1:-1, :])
+    idx = 0
+    for face_slab in slabs:                        # N, E, S, W
+        for comp_slab, comp_fo in zip(face_slab, fo):
+            out_scr[idx] = jnp.concatenate(
+                [comp_fo[:, :1], comp_slab, comp_fo[:, -1:]], axis=1)
+            idx += 1
+
+    _store_all(out_scr, outs, sem_out, t, tr)
+
+
+def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
+                      logical_rows, logical_cols):
+    n_in = 6 + N_FACE
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + 4]
+    speed_ref = refs[n_in + 4]
+    scr = refs[n_in + 5]
+    out_scr = refs[n_in + 6]
+    sem_in = refs[n_in + 7]
+    sem_out = refs[n_in + 8]
+
+    t = pl.program_id(0)
+    tr = tile_rows
+    _load_cases(ins, scr, sem_in, t, pl.num_programs(0), tr, rows)
+
+    w0, w1 = HALO - 1, HALO + tr + 1
+    win = [scr[k, w0:w1, :] for k in range(n_in)]
+    z, zmax, qx, qy, zb, n = win[:6]
+    faces = tuple(FaceExtrap(*win[6 + 4 * f:6 + 4 * (f + 1)])
+                  for f in range(4))
+    dt = dt_ref[0, 0]
+
+    zi, zmaxi, qxi, qyi = muscl_corrector_full(z, zmax, qx, qy, zb, n,
+                                               faces, dt, params)
+
+    # Two-cell static ring by global index.
+    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
+    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
+    ring = ((gids < RING) | (gids >= logical_rows - RING)
+            | (cids < RING) | (cids >= logical_cols - RING))
+    old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1], qx[1:-1, 1:-1], qy[1:-1, 1:-1])
+    zi, zmaxi, qxi, qyi = (jnp.where(ring, o, v) for o, v in
+                           zip(old, (zi, zmaxi, qxi, qyi)))
+
+    def full_width(old2d, interior):
+        return jnp.concatenate(
+            [old2d[1:-1, :1], interior, old2d[1:-1, -1:]], axis=1)
+
+    out_scr[0] = full_width(z, zi)
+    out_scr[1] = full_width(zmax, zmaxi)
+    out_scr[2] = full_width(qx, qxi)
+    out_scr[3] = full_width(qy, qyi)
+
+    h = out_scr[0] - zb[1:-1, :]
+    wet = (h > params.quite_small) & (out_scr[1] > C.NODATA)
+    h_safe = jnp.where(wet, h, 1.0)
+    cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+    spd = jnp.maximum(jnp.abs(out_scr[2]), jnp.abs(out_scr[3])) / h_safe \
+        + cel
+    spd = jnp.where(wet, spd, 0.0)
+    speed_ref[t, 0] = jnp.max(spd)
+
+    _store_all(out_scr, outs, sem_out, t, tr)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "params", "tile_rows", "interpret", "logical_rows", "logical_cols"))
+def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
+                            params: SchemeParams, tile_rows=None,
+                            interpret: bool = False, logical_rows=None,
+                            logical_cols=None):
+    """Fused two-kernel MUSCL step + CFL reduce.  Returns
+    (new_state, max_wave_speed)."""
+    rows, cols = state.z.shape
+    if tile_rows is None:
+        tile_rows = pick_tile_rows(rows, cols, 60)
+    if not supports(rows, cols, tile_rows):
+        raise ValueError(
+            f"grid {rows}x{cols} with tile_rows={tile_rows} violates the "
+            "Pallas alignment contract (see Domain.pad_for_tiles)")
+    n_tiles = rows // tile_rows
+    dtype = state.z.dtype
+    lr = logical_rows or rows
+    lc = logical_cols or cols
+
+    dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
+    plane = jax.ShapeDtypeStruct((rows, cols), dtype)
+
+    # ---- kernel P -------------------------------------------------------
+    pk = functools.partial(_predictor_kernel, params=params,
+                           tile_rows=tile_rows, rows=rows, cols=cols)
+    faces = pl.pallas_call(
+        pk,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_FACE,
+            scratch_shapes=[
+                pltpu.VMEM((5, tile_rows + 2 * HALO, cols), dtype),
+                pltpu.VMEM((N_FACE, tile_rows, cols), dtype),
+                pltpu.SemaphoreType.DMA((5,)),
+                pltpu.SemaphoreType.DMA((N_FACE,)),
+            ]),
+        out_shape=[plane] * N_FACE,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
+
+    # ---- kernel C -------------------------------------------------------
+    ck = functools.partial(_corrector_kernel, params=params,
+                           tile_rows=tile_rows, rows=rows, cols=cols,
+                           logical_rows=lr, logical_cols=lc)
+    n_in = 6 + N_FACE
+    zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
+        ck,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((n_in, tile_rows + 2 * HALO, cols), dtype),
+                pltpu.VMEM((4, tile_rows, cols), dtype),
+                pltpu.SemaphoreType.DMA((n_in,)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ]),
+        out_shape=[plane] * 4 + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb,
+      static.manning, *faces)
+
+    return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)

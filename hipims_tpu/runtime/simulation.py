@@ -148,6 +148,7 @@ class Simulation:
         scheme_name = self.scheme.name
         if use_pallas:
             from ..ops.pallas.stencil import stencil_step_pallas
+            from ..ops.pallas.muscl_split import muscl_step_pallas_split
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state", "carry"))
@@ -159,10 +160,17 @@ class Simulation:
                                          carry.t, carry.dt, carry.t_hydro,
                                          params)
                 if use_pallas:
-                    state, speed = stencil_step_pallas.__wrapped__(
-                        scheme_name, state, static, carry.dt, params,
-                        ts_params.simplified_speed, None, False,
-                        logical[0], logical[1])
+                    if scheme_name == "muscl-hancock":
+                        # The fully-fused MUSCL kernel overwhelms the
+                        # Mosaic compiler; use the two-kernel split.
+                        state, speed = muscl_step_pallas_split.__wrapped__(
+                            state, static, carry.dt, params, None, False,
+                            logical[0], logical[1])
+                    else:
+                        state, speed = stencil_step_pallas.__wrapped__(
+                            scheme_name, state, static, carry.dt, params,
+                            ts_params.simplified_speed, None, False,
+                            logical[0], logical[1])
                 else:
                     state = scheme_step(state, static, carry.dt, params)
                     speed = max_wave_speed(state.z, state.zmax, state.qx,

@@ -80,3 +80,25 @@ def test_pallas_other_schemes_match_xla(scheme):
                                 static.zb, params.quite_small,
                                 sch.simplified_speed)
     assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
+
+
+def test_muscl_split_matches_whole():
+    """Two-kernel split MUSCL == whole-grid MUSCL (interpret mode)."""
+    from hipims_tpu.models import get_scheme
+    from hipims_tpu.ops.pallas.muscl_split import muscl_step_pallas_split
+
+    z, zmax, qx, qy, zb, n = random_domain(6, rows=32, cols=128)
+    state = FlowState(*[np.asarray(a) for a in (z, zmax, qx, qy)])
+    static = DomainStatic(zb=zb, manning=n)
+    params = SchemeParams(dx=2.0, dy=2.0)
+    dt = 0.05
+
+    want = get_scheme("muscl-hancock").step(state, static, dt, params)
+    got, speed = muscl_step_pallas_split(state, static, dt, params,
+                                         tile_rows=8, interpret=True)
+    for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+    want_speed = max_wave_speed(want.z, want.zmax, want.qx, want.qy,
+                                static.zb, params.quite_small)
+    assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
