@@ -29,6 +29,10 @@ def main():
     cols = int(os.environ.get("BENCH_COLS", 1408))
     steps = int(os.environ.get("BENCH_STEPS", 200))
     scheme = os.environ.get("BENCH_SCHEME", "muscl-hancock")
+    # Default to the XLA backend for the headline run: the Pallas MUSCL
+    # kernels compile slowly through the remote TPU compile relay in this
+    # environment, and a wedged compile would lose the benchmark entirely.
+    backend = os.environ.get("BENCH_BACKEND", "xla")
 
     # Fully wet radial dam break over a gently undulating bed: no dry-cell
     # shortcuts, friction active everywhere — worst-case honest rate.
@@ -40,7 +44,8 @@ def main():
 
     cfg = SimulationConfig(scheme=scheme, duration=1e9,
                            output_frequency=1e9, dtype="float32",
-                           batch_size=steps, batch_auto=False)
+                           batch_size=steps, batch_auto=False,
+                           kernel_backend=backend)
     sim = Simulation(dom, cfg)
 
     sync = jnp.asarray(1e9, dtype=sim.dtype)

@@ -58,6 +58,9 @@ class Domain:
             self.active = self.zb > C.NODATA + 0.5
         # Logical (pre-padding) grid dimensions.
         self.logical_rows, self.logical_cols = self.zb.shape
+        # Pristine bed snapshot: initial conditions always evaluate against
+        # this, making build() idempotent even after edge walls are raised.
+        self._zb0 = self.zb.copy()
 
     @property
     def rows(self):
@@ -115,6 +118,8 @@ class Domain:
         pad = ((0, rp), (0, cp))
         self.zb = np.pad(self.zb, pad,
                          constant_values=C.CLOSED_EDGE_ELEVATION)
+        self._zb0 = np.pad(self._zb0, pad,
+                           constant_values=C.CLOSED_EDGE_ELEVATION)
         self.manning = np.pad(self.manning, pad, constant_values=0.0)
         self.active = np.pad(self.active, pad, constant_values=False)
         for attr in ("_depth", "_fsl", "_qx", "_qy"):
@@ -136,7 +141,7 @@ class Domain:
         """
         import jax.numpy as jnp
 
-        zb0 = jnp.asarray(self.zb, dtype=dtype)
+        zb0 = jnp.asarray(self._zb0, dtype=dtype)
         state = make_initial_state(
             zb0,
             depth=self._depth, fsl=self._fsl,
