@@ -86,8 +86,12 @@ class Simulation:
         backend = config.kernel_backend
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
+            # MUSCL stays on the XLA backend by default: its Pallas kernels
+            # (even split in two) stall this environment's remote Mosaic
+            # compile service.  kernel_backend="pallas" forces them on.
             backend = ("pallas" if (on_tpu and mesh is None
-                                    and config.dtype == "float32")
+                                    and config.dtype == "float32"
+                                    and self.scheme.name != "muscl-hancock")
                        else "xla")
         if backend == "pallas":
             domain.pad_for_tiles()
