@@ -25,6 +25,9 @@ def parse_args(argv=None):
                     help="plain line-by-line progress output")
     ap.add_argument("--mesh", type=int, default=None,
                     help="shard over this many devices (2-D mesh)")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu, tpu); like the "
+                         "reference's deviceFilter")
     ap.add_argument("--mesh-shape", default=None,
                     help="explicit mesh shape, e.g. 2x4")
     return ap.parse_args(argv)
@@ -33,13 +36,24 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
     from .io.xml_config import load_config
     from .utils.logging import Logger
     from .runtime.progress import ProgressReporter
 
     log = Logger(path=args.log_file, quiet=args.quiet_mode)
     log.block("Model configuration")
-    model = load_config(args.config_file)
+    try:
+        model = load_config(args.config_file)
+    except FileNotFoundError as e:
+        log.error(f"Cannot open model file: {e.filename or e}")
+        return 1
+    except (ValueError, KeyError) as e:
+        log.error(f"Invalid model configuration: {e}")
+        return 1
     log.line(f"  Name:        {model.name}")
     log.line(f"  Scheme:      {model.config.scheme}")
     log.line(f"  Duration:    {model.config.duration:.0f} s")
@@ -59,7 +73,11 @@ def main(argv=None):
         log.line(f"  Mesh:        {mesh.devices.shape} "
                  f"({mesh.devices.size} devices)")
 
-    sim = model.simulation(mesh=mesh)
+    try:
+        sim = model.simulation(mesh=mesh)
+    except ValueError as e:
+        log.error(f"Invalid model configuration: {e}")
+        return 1
     reporter = ProgressReporter(log, sim, quiet=args.quiet_mode)
 
     log.block("Simulation")

@@ -289,21 +289,21 @@ def _write_tiff(path: Path, raster: Raster):
 # ------------------------------------------------------------ dispatch ----
 
 def read_raster(path) -> Raster:
+    """Read a raster, dispatching on magic bytes first (an ``.img`` name
+    can legitimately hold GeoTIFF bytes: HFA output requests are honoured
+    as GeoTIFF under the requested filename), then extension."""
     path = Path(path)
+    with open(path, "rb") as f:
+        magic = f.read(16)
+    if magic.startswith(b"EHFA_HEADER_TAG"):
+        from .hfa import read_hfa
+        return read_hfa(path)
+    if magic[:2] in (b"II", b"MM") and magic[2:3] in (b"*", b"\x00"):
+        return _read_tiff(path)
     suffix = path.suffix.lower()
-    if suffix == ".asc":
-        return _read_asc(path)
     if suffix in (".tif", ".tiff"):
         return _read_tiff(path)
     if suffix == ".img":
-        from .hfa import read_hfa
-        return read_hfa(path)
-    # Sniff by magic.
-    with open(path, "rb") as f:
-        magic = f.read(16)
-    if magic[:2] in (b"II", b"MM"):
-        return _read_tiff(path)
-    if magic.startswith(b"EHFA_HEADER_TAG"):
         from .hfa import read_hfa
         return read_hfa(path)
     return _read_asc(path)

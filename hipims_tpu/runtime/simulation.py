@@ -76,6 +76,10 @@ class Simulation:
         self.scheme: Scheme = get_scheme(config.scheme)
         self.mesh = mesh
 
+        if config.dtype == "float64" and not jax.config.jax_enable_x64:
+            # The config asked for double precision; without this flag JAX
+            # silently truncates every array to float32.
+            jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.dtype = dtype
 
