@@ -90,12 +90,11 @@ class Simulation:
         backend = config.kernel_backend
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
-            # MUSCL stays on the XLA backend by default: its Pallas kernels
-            # (even split in two) stall this environment's remote Mosaic
-            # compile service.  kernel_backend="pallas" forces them on.
+            # All three schemes run the Pallas backend on a single TPU chip
+            # in f32; MUSCL-Hancock uses the two-kernel split (the fully
+            # fused variant overwhelms the Mosaic compiler).
             backend = ("pallas" if (on_tpu and mesh is None
-                                    and config.dtype == "float32"
-                                    and self.scheme.name != "muscl-hancock")
+                                    and config.dtype == "float32")
                        else "xla")
         if backend == "pallas":
             domain.pad_for_tiles()
