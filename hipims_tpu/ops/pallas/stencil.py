@@ -57,7 +57,7 @@ INTERIOR = {
 
 
 def pick_tile_rows(rows: int, cols: int, temp_floats: int = 40,
-                   vmem_budget=8 * 2**20) -> int:
+                   vmem_budget=12 * 2**20) -> int:
     """Largest multiple-of-8 divisor of ``rows`` within the VMEM budget."""
     per_row = cols * 4 * temp_floats
     cap = max(8, min(vmem_budget // per_row, rows // 2))
