@@ -90,20 +90,31 @@ class Domain:
             self._qy = np.broadcast_to(np.asarray(qy, np.float64),
                                        self.zb.shape)
 
-    def apply_edge_treatment(self):
+    def apply_edge_treatment(self, width: int = 1):
         """Raise bed walls on closed edges (reference:
         CDomainCartesian.cpp:773-799).  'open' leaves the static edge ring
-        as-is, which acts as a fixed-state ghost row."""
+        as-is, which acts as a fixed-state ghost row.
+
+        ``width`` is the scheme's static-ring width (1 for Godunov/
+        inertial, 2 for MUSCL-Hancock).  The reference always raises a
+        one-cell wall, which under its 2nd-order kernel leaves a WET,
+        never-updated ring-1 cell exchanging real flux with the interior —
+        a steady mass leak at closed boundaries
+        (src/Schemes/CLSchemeMUSCLHancock.clc:568-573 static bounds vs.
+        CDomainCartesian.cpp:773-799 single-ring wall).  Raising the wall
+        to the full static-ring width makes closed domains conserve mass
+        exactly for every scheme."""
         zb = self.zb
         lr, lc = self.logical_rows, self.logical_cols
+        w = max(1, int(width))
         if self.edge_treatment.get("north") == "closed":
-            zb[lr - 1, :lc] = C.CLOSED_EDGE_ELEVATION
+            zb[lr - w:lr, :lc] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("south") == "closed":
-            zb[0, :lc] = C.CLOSED_EDGE_ELEVATION
+            zb[0:w, :lc] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("east") == "closed":
-            zb[:lr, lc - 1] = C.CLOSED_EDGE_ELEVATION
+            zb[:lr, lc - w:lc] = C.CLOSED_EDGE_ELEVATION
         if self.edge_treatment.get("west") == "closed":
-            zb[:lr, 0] = C.CLOSED_EDGE_ELEVATION
+            zb[:lr, 0:w] = C.CLOSED_EDGE_ELEVATION
 
     def pad_for_tiles(self, sublane=8, lane=128):
         """Grow the grid with disabled wall cells so rows % sublane == 0 and
@@ -129,7 +140,7 @@ class Domain:
                                            constant_values=0.0))
         return self
 
-    def build(self, dtype=np.float64, apply_edges=True):
+    def build(self, dtype=np.float64, apply_edges=True, edge_wall_width=1):
         """Materialise (FlowState, DomainStatic) device arrays.
 
         Initial conditions are evaluated against the ORIGINAL bed, and only
@@ -148,7 +159,7 @@ class Domain:
             qx=self._qx, qy=self._qy,
             active=self.active, dtype=dtype)
         if apply_edges:
-            self.apply_edge_treatment()
+            self.apply_edge_treatment(width=edge_wall_width)
         static = DomainStatic(zb=jnp.asarray(self.zb, dtype=dtype),
                               manning=jnp.asarray(self.manning, dtype=dtype))
         return state, static

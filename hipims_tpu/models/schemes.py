@@ -20,12 +20,13 @@ class Scheme(NamedTuple):
     step: Callable            # (state, static, dt, params) -> state
     simplified_speed: bool    # CFL uses sqrt(gh) only (inertial)
     order: int
+    radius: int               # stencil radius = static-ring width
 
 
 SCHEMES = {
-    "godunov": Scheme("godunov", godunov_step, False, 1),
-    "muscl-hancock": Scheme("muscl-hancock", muscl_step, False, 2),
-    "inertial": Scheme("inertial", inertial_step, True, 1),
+    "godunov": Scheme("godunov", godunov_step, False, 1, 1),
+    "muscl-hancock": Scheme("muscl-hancock", muscl_step, False, 2, 2),
+    "inertial": Scheme("inertial", inertial_step, True, 1, 1),
 }
 
 

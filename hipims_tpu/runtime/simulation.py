@@ -98,7 +98,10 @@ class Simulation:
                        else "xla")
         if backend == "pallas":
             domain.pad_for_tiles()
-        self.state, self.static = domain.build(dtype=dtype)
+        # Closed-edge walls span the scheme's full static ring so closed
+        # domains conserve mass exactly (see Domain.apply_edge_treatment).
+        self.state, self.static = domain.build(
+            dtype=dtype, edge_wall_width=self.scheme.radius)
         if backend == "pallas" and not _pallas.supports(
                 domain.rows, domain.cols, scheme=self.scheme.name):
             backend = "xla"

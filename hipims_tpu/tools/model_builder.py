@@ -5,11 +5,19 @@ main.js:305-327) that builds pluvial, analytical and laboratory models —
 DEM rasters, boundary CSVs and an XML configuration.  This is its Python
 equivalent, generating the same artefact set against this framework's
 (reference-compatible) schema, including the analytical cases with
-validation rasters (tools/model-builder/tests/README.md:33-64).
+validation rasters (tools/model-builder/tests/README.md:33-64) and the
+reference's four registered test cases (tools/model-builder/TestCases.js):
+lake at rest, sloshing bowl, dam break over an emerging bed, and the
+dam-break-against-an-isolated-obstacle laboratory flume.
+
+Like the reference's ``--decompose`` family of flags (main.js:160-196),
+``--decompose N`` splits the generated model into N overlapping row-band
+sub-domains written as a multi-``<domain>`` configuration (the loader
+stitches them back onto one sharded grid).
 
 Usage:
-    python -m hipims_tpu.tools.model_builder --name test --type dam-break \\
-        --directory ./models/test [--resolution 2] [--scheme godunov]
+    python -m hipims_tpu.tools.model_builder --type dam-break \\
+        --directory ./models/test [--scheme godunov] [--decompose 2]
 """
 
 from __future__ import annotations
@@ -36,14 +44,16 @@ XML_TEMPLATE = """<?xml version="1.0"?>
 \t\t<parameter name="duration" value="{duration}" />
 \t\t<parameter name="outputFrequency" value="{output_frequency}" />
 \t\t<parameter name="floatingPointPrecision" value="{precision}" />
-\t\t<domainSet>
-\t\t\t<domain type="cartesian" deviceNumber="1">
+\t\t<domainSet{sync_attrs}>
+{domains}
+\t\t</domainSet>
+\t</simulation>
+</configuration>
+"""
+
+DOMAIN_TEMPLATE = """\t\t\t<domain type="cartesian" deviceNumber="{device}">
 \t\t\t\t<data sourceDir="topography/" targetDir="output/">
-{sources}
-\t\t\t\t\t<dataTarget type="raster" value="depth" format="GTiff" target="depth_%t.tif" />
-\t\t\t\t\t<dataTarget type="raster" value="velocityX" format="GTiff" target="velX_%t.tif" />
-\t\t\t\t\t<dataTarget type="raster" value="velocityY" format="GTiff" target="velY_%t.tif" />
-\t\t\t\t\t<dataTarget type="raster" value="maxdepth" format="GTiff" target="maxdepth_%t.tif" />
+{sources}{targets}
 \t\t\t\t</data>
 \t\t\t\t<scheme name="{scheme}">
 \t\t\t\t\t<parameter name="courantNumber" value="{courant}" />
@@ -56,40 +66,48 @@ XML_TEMPLATE = """<?xml version="1.0"?>
 \t\t\t\t\t<domainEdge edge="west" treatment="closed" />
 {timeseries}
 \t\t\t\t</boundaryConditions>
-\t\t\t</domain>
-\t\t</domainSet>
-\t</simulation>
-</configuration>
-"""
+\t\t\t</domain>"""
+
+TARGETS = """
+\t\t\t\t\t<dataTarget type="raster" value="depth" format="GTiff" target="depth_%t.tif" />
+\t\t\t\t\t<dataTarget type="raster" value="velocityX" format="GTiff" target="velX_%t.tif" />
+\t\t\t\t\t<dataTarget type="raster" value="velocityY" format="GTiff" target="velY_%t.tif" />
+\t\t\t\t\t<dataTarget type="raster" value="maxdepth" format="GTiff" target="maxdepth_%t.tif" />"""
+
+
+def _source_line(kind, value, source):
+    return (f'\t\t\t\t\t<dataSource type="{kind}" value="{value}" '
+            f'source="{source}" />')
 
 
 def _emit(directory, name, description, zb, extras, duration,
           output_frequency, scheme="godunov", resolution=2.0,
           manning=0.03, friction="yes", courant=0.5, rainfall=None,
-          depth=None, validation=None):
+          depth=None, fsl=None, validation=None, decompose=None,
+          decompose_overlap=4, sync_method=None, gauges=None):
     directory = Path(directory)
     (directory / "topography").mkdir(parents=True, exist_ok=True)
     (directory / "boundaries").mkdir(exist_ok=True)
     (directory / "output").mkdir(exist_ok=True)
 
-    write_raster(directory / "topography" / "dem.asc",
-                 Raster.from_domain_array(zb, cell_size=resolution))
-    sources = [
-        '\t\t\t\t\t<dataSource type="raster" value="structure,dem" '
-        'source="dem.asc" />',
-        f'\t\t\t\t\t<dataSource type="constant" '
-        f'value="manningCoefficient" source="{manning}" />',
-    ]
+    sources = [_source_line("constant", "manningCoefficient", manning)]
     if depth is not None:
         if np.isscalar(depth):
-            sources.append(f'\t\t\t\t\t<dataSource type="constant" '
-                           f'value="depth" source="{depth}" />')
+            sources.append(_source_line("constant", "depth", depth))
         else:
             write_raster(directory / "topography" / "depth.asc",
                          Raster.from_domain_array(depth,
                                                   cell_size=resolution))
-            sources.append('\t\t\t\t\t<dataSource type="raster" '
-                           'value="depth" source="depth.asc" />')
+            sources.append(_source_line("raster", "depth", "depth.asc"))
+    if fsl is not None:
+        if np.isscalar(fsl):
+            sources.append(_source_line("constant", "fsl", fsl))
+        else:
+            write_raster(directory / "topography" / "fsl.asc",
+                         Raster.from_domain_array(fsl,
+                                                  cell_size=resolution))
+            sources.append(_source_line("raster", "fsl", "fsl.asc"))
+
     timeseries = []
     if rainfall is not None:
         rows = "\n".join(f"{t},{v}" for t, v in rainfall)
@@ -105,18 +123,62 @@ def _emit(directory, name, description, zb, extras, duration,
             write_raster(directory / "validation" / fname,
                          Raster.from_domain_array(grid,
                                                   cell_size=resolution))
+    if gauges is not None:
+        rows = "\n".join(f"{gx},{gy},{gn}" for gx, gy, gn in gauges)
+        (directory / "boundaries" / "gauges.csv").write_text(
+            "X (m),Y (m),Gauge\n" + rows + "\n")
 
+    # ---- domain blocks (1 or N row-band decomposed) ----------------------
+    n_parts = int(decompose) if decompose else 1
+    blocks = []
+    nrows = zb.shape[0]
+    for i in range(n_parts):
+        if n_parts == 1:
+            band, dem_name = zb, "dem.asc"
+            yll = 0.0
+        else:
+            # Overlapping row bands, like the reference's decomposed
+            # configs (tools/model-builder main.js:160-196): band i covers
+            # rows [lo, hi) of the logical grid plus `decompose_overlap`
+            # shared halo rows on each interior seam.
+            lo = i * nrows // n_parts
+            hi = (i + 1) * nrows // n_parts
+            lo = max(0, lo - (decompose_overlap if i > 0 else 0))
+            hi = min(nrows, hi + (decompose_overlap
+                                  if i < n_parts - 1 else 0))
+            band = zb[lo:hi]
+            dem_name = f"dem_part{i}.asc"
+            yll = lo * resolution
+        write_raster(directory / "topography" / dem_name,
+                     Raster.from_domain_array(band, cell_size=resolution,
+                                              yll=yll))
+        dom_sources = [_source_line("raster", "structure,dem", dem_name)]
+        if i == 0:
+            # ICs, targets and boundaries live on the first domain; the
+            # loader applies them to the stitched union grid.
+            dom_sources += sources
+        blocks.append(DOMAIN_TEMPLATE.format(
+            device=i + 1, scheme=scheme, courant=courant, friction=friction,
+            sources="\n".join(dom_sources),
+            targets=TARGETS if i == 0 else "",
+            timeseries="\n".join(timeseries) if i == 0 else ""))
+
+    sync_attrs = ""
+    if sync_method:
+        sync_attrs = f' syncMethod="{sync_method}"'
+    from xml.sax.saxutils import escape
     xml = XML_TEMPLATE.format(
-        name=name, description=description, duration=duration,
+        name=escape(name), description=escape(description),
+        duration=duration,
         output_frequency=output_frequency, precision="double",
-        scheme=scheme, courant=courant, friction=friction,
-        sources="\n".join(sources), timeseries="\n".join(timeseries))
+        sync_attrs=sync_attrs, domains="\n".join(blocks))
     (directory / f"{name}.xml").write_text(xml)
     return directory / f"{name}.xml"
 
 
 def build_pluvial(directory, name="pluvial", size=500, resolution=2.0,
-                  rain_mm_hr=70.0, duration=3600.0, scheme="godunov"):
+                  rain_mm_hr=70.0, duration=3600.0, scheme="godunov",
+                  **kw):
     """Synthetic pluvial test: undulating catchment + uniform rainfall
     (the reference builds these from EA LiDAR; we synthesise terrain)."""
     n = int(size)
@@ -128,14 +190,15 @@ def build_pluvial(directory, name="pluvial", size=500, resolution=2.0,
                  {}, duration, duration / 6, scheme=scheme,
                  resolution=resolution, depth=0.0,
                  rainfall=[(0, rain_mm_hr), (duration / 2, rain_mm_hr),
-                           (duration, 0.0)])
+                           (duration, 0.0)], **kw)
 
 
 def build_dam_break(directory, name="dam-break", n=400, resolution=2.0,
                     h_up=2.0, h_down=0.2, duration=40.0,
-                    scheme="godunov"):
+                    scheme="godunov", **kw):
     """1-D dam break strip with Stoker validation rasters at each output
-    interval (reference analogue: TestDamBreakEmergingBed)."""
+    interval (reference analogue: TestDamBreakEmergingBed with a wet bed;
+    pass h_down=0 for the Ritter dry-front variant)."""
     rows = 8
     zb = np.zeros((rows, n))
     zb[:2, :] = 9999.9
@@ -159,11 +222,11 @@ def build_dam_break(directory, name="dam-break", n=400, resolution=2.0,
 
     return _emit(directory, name, "Stoker/Ritter dam break", zb, {},
                  duration, out_freq, scheme=scheme, resolution=resolution,
-                 friction="no", depth=depth, validation=validation)
+                 friction="no", depth=depth, validation=validation, **kw)
 
 
 def build_sloshing_bowl(directory, name="sloshing-bowl", n=200,
-                        scheme="muscl-hancock"):
+                        scheme="muscl-hancock", **kw):
     """Thacker planar sloshing bowl with analytic depth rasters
     (reference analogue: TestSloshingBowl.js)."""
     case = SloshingBowl()
@@ -190,13 +253,98 @@ def build_sloshing_bowl(directory, name="sloshing-bowl", n=200,
             h_ex[None, :].repeat(rows, 0)
     return _emit(directory, name, "Thacker sloshing parabolic bowl", zb,
                  {}, duration, out_freq, scheme=scheme, resolution=dxr,
-                 friction="no", depth=depth, validation=validation)
+                 friction="no", depth=depth, validation=validation, **kw)
+
+
+def build_lake_at_rest(directory, name="lake-at-rest", n=128,
+                       resolution=2.0, fsl=1.0, duration=600.0,
+                       scheme="muscl-hancock", **kw):
+    """Well-balancedness test (reference analogue: TestLakeAtRest.js,
+    tools/model-builder/tests/README.md:36-64): an irregular bumpy bed,
+    partly emerging above a still free surface.  The exact solution is
+    that nothing moves; the validation raster at every output interval is
+    the initial depth field."""
+    yy, xx = np.mgrid[0:n, 0:n].astype(float) * resolution
+    rng = np.random.default_rng(42)
+    zb = np.zeros((n, n))
+    for _ in range(12):
+        cx, cy = rng.uniform(0, n * resolution, 2)
+        amp = rng.uniform(0.3, 1.8)          # some bumps emerge (> fsl)
+        sig = rng.uniform(4, 16) * resolution
+        zb += amp * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                           / (2 * sig ** 2))
+
+    out_freq = duration / 4
+    h0 = np.maximum(fsl - zb, 0.0)
+    validation = {f"depth_exact_{int(k * out_freq)}.asc": h0
+                  for k in range(1, 5)}
+    return _emit(directory, name, "Lake at rest (well-balancedness)", zb,
+                 {}, duration, out_freq, scheme=scheme,
+                 resolution=resolution, friction="no", fsl=fsl,
+                 validation=validation, **kw)
+
+
+def build_dam_break_obstacle(directory, name="dam-break-obstacle",
+                             resolution=0.1, duration=30.0,
+                             scheme="muscl-hancock", **kw):
+    """Dam break against an isolated obstacle: the Soares-Frazao & Zech
+    (2007) laboratory flume (reference analogue:
+    TestDamBreakAgainstObstacle.js + tests/resources/
+    dam-break-against-obstacle/).  Geometry after the paper: a 35.8 m x
+    3.6 m channel, a reservoir behind a 1 m wide gate at x = 6.75 m,
+    initial depths 0.40 m (reservoir) / 0.02 m (downstream), Manning
+    n = 0.01, and a 0.80 m x 0.40 m building rotated 64 degrees placed
+    ~3.4 m downstream of the gate.  Emits the six gauge locations around
+    the building as boundaries/gauges.csv for comparison against the
+    published measurements (not bundled here)."""
+    length, width = 35.8, 3.6
+    n_x = int(round(length / resolution))
+    n_y = int(round(width / resolution))
+    zb = np.zeros((n_y, n_x))
+
+    xc = (np.arange(n_x) + 0.5) * resolution
+    yc = (np.arange(n_y) + 0.5) * resolution
+    xx, yy = np.meshgrid(xc, yc)
+
+    gate_x = 6.75
+    gate_half_w = 0.5
+    # Gate wall: a one-cell-thick wall across the channel with a 1 m
+    # central opening.
+    gi = int(round(gate_x / resolution))
+    wall = np.abs(yc - width / 2) > gate_half_w
+    zb[wall, gi] = 9999.9
+
+    # Rotated building footprint: cell centres inside the rotated rect.
+    bx, by = gate_x + 3.4, width / 2 - 0.2   # building centre
+    blen, bwid = 0.80, 0.40
+    theta = np.deg2rad(64.0)
+    xr = (xx - bx) * np.cos(theta) + (yy - by) * np.sin(theta)
+    yr = -(xx - bx) * np.sin(theta) + (yy - by) * np.cos(theta)
+    inside = (np.abs(xr) <= blen / 2) & (np.abs(yr) <= bwid / 2)
+    zb[inside] = 9999.9
+
+    depth = np.where(xx < gate_x, 0.40, 0.02)
+    depth[zb > 9000] = 0.0
+
+    # Gauge positions around the building (paper's G1-G6 layout).
+    gauges = [(bx - 0.8, by + 0.5, "G1"), (bx - 0.4, by + 0.3, "G2"),
+              (bx - 0.4, by - 0.3, "G3"), (bx + 0.4, by + 0.3, "G4"),
+              (bx + 0.4, by - 0.3, "G5"), (bx + 0.8, by - 0.5, "G6")]
+
+    return _emit(directory, name,
+                 "Dam break against an isolated obstacle "
+                 "(Soares-Frazao & Zech 2007 flume)", zb, {},
+                 duration, duration / 6, scheme=scheme,
+                 resolution=resolution, manning=0.01, friction="yes",
+                 depth=depth, gauges=gauges, **kw)
 
 
 BUILDERS = {
     "pluvial": build_pluvial,
     "dam-break": build_dam_break,
     "sloshing-bowl": build_sloshing_bowl,
+    "lake-at-rest": build_lake_at_rest,
+    "dam-break-obstacle": build_dam_break_obstacle,
 }
 
 
@@ -207,12 +355,25 @@ def main(argv=None):
     ap.add_argument("--type", "-t", required=True, choices=sorted(BUILDERS))
     ap.add_argument("--directory", "-d", required=True)
     ap.add_argument("--scheme", default=None)
+    ap.add_argument("--decompose", type=int, default=None, metavar="N",
+                    help="split into N overlapping row-band <domain>s "
+                         "(reference: hipims-mb --decompose)")
+    ap.add_argument("--decompose-overlap", type=int, default=4,
+                    help="shared halo rows per seam (default 4)")
+    ap.add_argument("--sync-method", default=None,
+                    choices=("timestep", "forecast"),
+                    help="<domainSet syncMethod> for decomposed models")
     args = ap.parse_args(argv)
     kw = {}
     if args.name:
         kw["name"] = args.name
     if args.scheme:
         kw["scheme"] = args.scheme
+    if args.decompose:
+        kw["decompose"] = args.decompose
+        kw["decompose_overlap"] = args.decompose_overlap
+    if args.sync_method:
+        kw["sync_method"] = args.sync_method
     path = BUILDERS[args.type](args.directory, **kw)
     print(f"Model written: {path}")
     return 0

@@ -38,3 +38,56 @@ def test_sloshing_model_builds(tmp_path):
     model = load_config(tmp_path / "sb" / "sloshing-bowl.xml")
     assert model.config.scheme == "muscl-hancock"
     assert (tmp_path / "sb" / "validation").exists()
+
+
+def test_lake_at_rest_is_well_balanced(tmp_path):
+    """The free surface over an irregular, partly-emerging bed must not
+    move (reference analogue: TestLakeAtRest.js)."""
+    mb_main(["-t", "lake-at-rest", "-d", str(tmp_path / "lar")])
+    model = load_config(tmp_path / "lar" / "lake-at-rest.xml")
+    sim = model.simulation()
+    h0 = sim.depth().copy()
+    sim.run_to(60.0)
+    h = sim.depth()
+    exact = read_raster(tmp_path / "lar" / "validation" /
+                        "depth_exact_150.asc").to_domain_array()
+    assert np.abs(h - h0).max() < 1e-10
+    wet = h0 > 0
+    assert np.abs(h0[wet] - exact[wet]).max() < 1e-9
+
+
+def test_dam_break_obstacle_builds_and_runs(tmp_path):
+    """Soares-Frazao & Zech flume: geometry loads, gauges emitted, a short
+    run conserves volume (closed walls, friction only redistributes)."""
+    mb_main(["-t", "dam-break-obstacle", "-d", str(tmp_path / "ob")])
+    assert (tmp_path / "ob" / "boundaries" / "gauges.csv").exists()
+    model = load_config(tmp_path / "ob" / "dam-break-obstacle.xml")
+    sim = model.simulation()
+    v0 = sim.volume()
+    sim.run_to(1.0)
+    assert abs(sim.volume() - v0) / v0 < 1e-6
+    # The surge has left the reservoir: downstream of the gate got wetter.
+    h = sim.depth()
+    gi = int(round(6.75 / model.domain.dx))
+    assert h[:, gi + 2:gi + 20].max() > 0.05
+
+
+def test_decomposed_config_stitches_to_same_model(tmp_path):
+    """--decompose N writes a multi-<domain> config whose stitched grid and
+    solution match the undecomposed model (reference: hipims-mb
+    --decompose, tools/model-builder/main.js:160-196)."""
+    mb_main(["-t", "dam-break", "-d", str(tmp_path / "whole")])
+    mb_main(["-t", "dam-break", "-d", str(tmp_path / "parts"),
+             "--decompose", "2", "--sync-method", "timestep"])
+    whole = load_config(tmp_path / "whole" / "dam-break.xml")
+    parts = load_config(tmp_path / "parts" / "dam-break.xml")
+    assert parts.config.sync_method == "timestep"
+    assert parts.domain.zb.shape == whole.domain.zb.shape
+    np.testing.assert_allclose(parts.domain.zb, whole.domain.zb)
+
+    sim = parts.simulation()
+    sim.run_to(10.0)
+    exact = read_raster(tmp_path / "parts" / "validation" /
+                        "depth_exact_10.asc").to_domain_array()
+    l1 = np.abs(sim.depth()[3:5, 2:-2] - exact[3:5, 2:-2]).mean()
+    assert l1 < 0.03, f"L1 vs validation raster {l1}"

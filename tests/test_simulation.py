@@ -9,10 +9,11 @@ from hipims_tpu.ops.boundaries import UniformBoundary
 from hipims_tpu.runtime import Simulation, SimulationConfig
 
 
-def circular_dam_domain(n=64, dx=2.0, h_in=2.5, h_out=0.5, radius=None):
+def circular_dam_domain(n=64, dx=2.0, h_in=2.5, h_out=0.5, radius=None,
+                        center=None):
     zb = np.zeros((n, n))
     dom = Domain(zb=zb, manning=0.0, dx=dx, dy=dx)
-    cy = cx = n / 2.0
+    cy = cx = n / 2.0 if center is None else center
     radius = radius or n * dx / 8.0
     yy, xx = np.mgrid[0:n, 0:n]
     r = np.hypot((yy - cy) * dx, (xx - cx) * dx)
@@ -23,7 +24,9 @@ def circular_dam_domain(n=64, dx=2.0, h_in=2.5, h_out=0.5, radius=None):
 
 @pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock"])
 def test_circular_dam_break(scheme):
-    dom = circular_dam_domain()
+    # 65 cells => the grid (and its closed-edge walls, whose width equals
+    # the scheme's static ring) is exactly symmetric about cell 32.
+    dom = circular_dam_domain(n=65, center=32.0)
     cfg = SimulationConfig(scheme=scheme, duration=5.0, output_frequency=5.0,
                            friction=False, batch_size=8)
     sim = Simulation(dom, cfg)
@@ -38,8 +41,9 @@ def test_circular_dam_break(scheme):
     assert h[32, 32] < 2.5
     assert h.max() < 2.5 + 1e-6
     # Four-fold symmetry of the radial wave about cell (32, 32):
-    # reflection maps index i -> 64 - i on 1..63.
-    hh = h[2:63, 2:63]  # symmetric index range about 32 inside the ring
+    # reflection maps index i -> 64 - i.
+    w = sim.scheme.radius  # wall width = static ring
+    hh = h[w:65 - w, w:65 - w]
     np.testing.assert_allclose(hh, hh[::-1, ::-1], atol=1e-8)
     np.testing.assert_allclose(hh, hh[:, ::-1], atol=1e-8)
     np.testing.assert_allclose(hh, hh.T, atol=1e-8)
