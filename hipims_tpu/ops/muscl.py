@@ -132,6 +132,94 @@ def muscl_predictor_interior(z, zmax, qx, qy, zb, dt,
     return tuple(pick(ex) for ex in (ex_n1, ex_e1, ex_s1, ex_w1))
 
 
+def muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
+                                params: SchemeParams):
+    """Half-step base state + limited slopes for the one-ring interior.
+
+    Returns (base, sx, sy), each a FaceExtrap-shaped 4-tuple of
+    (M-2, Cc-2) slabs, such that the four face extrapolations of
+    ``muscl_predictor_interior`` reconstruct BITWISE as
+    N = base + 0.5*sy, E = base + 0.5*sx, S = base - 0.5*sy,
+    W = base - 0.5*sx (first-order cells carry zero slopes and the
+    original state as base).  Storing 12 planes instead of 16 cuts the
+    split Pallas kernels' HBM traffic by ~17%.
+    """
+    vs = params.very_small
+    sl = (slice(1, -1), slice(1, -1))
+    n_i = (slice(2, None), slice(1, -1))
+    s_i = (slice(None, -2), slice(1, -1))
+    e_i = (slice(1, -1), slice(2, None))
+    w_i = (slice(1, -1), slice(None, -2))
+
+    zc, zbc = z[sl], zb[sl]
+    hc = zc - zbc
+    qxc, qyc = qx[sl], qy[sl]
+
+    first_order = ((hc < 1e-5)
+                   | (zmax[n_i] <= -9998.0) | (zmax[e_i] <= -9998.0)
+                   | (zmax[s_i] <= -9998.0) | (zmax[w_i] <= -9998.0))
+
+    sx = slope_vector(z[w_i], zb[w_i], qx[w_i], qy[w_i],
+                      zc, zbc, qxc, qyc,
+                      z[e_i], zb[e_i], qx[e_i], qy[e_i], vs)
+    sy = slope_vector(z[s_i], zb[s_i], qx[s_i], qy[s_i],
+                      zc, zbc, qxc, qyc,
+                      z[n_i], zb[n_i], qx[n_i], qy[n_i], vs)
+
+    def extrap(zv, hv, qxv, qyv, slope, coef):
+        return FaceExtrap(z=zv + coef * slope[0], h=hv + coef * slope[1],
+                          qx=qxv + coef * slope[2], qy=qyv + coef * slope[3])
+
+    ex_n0 = extrap(zc, hc, qxc, qyc, sy, +0.5)
+    ex_e0 = extrap(zc, hc, qxc, qyc, sx, +0.5)
+    ex_s0 = extrap(zc, hc, qxc, qyc, sy, -0.5)
+    ex_w0 = extrap(zc, hc, qxc, qyc, sx, -0.5)
+
+    fn = _flux_y(ex_n0, vs)
+    fe = _flux_x(ex_e0, vs)
+    fs = _flux_y(ex_s0, vs)
+    fw = _flux_x(ex_w0, vs)
+
+    inv_dx, inv_dy = 1.0 / params.dx, 1.0 / params.dy
+    src_x = -C.GRAVITY * 0.5 * (ex_e0.z + ex_w0.z) \
+        * ((ex_e0.z - ex_e0.h) - (ex_w0.z - ex_w0.h)) * inv_dx
+    src_y = -C.GRAVITY * 0.5 * (ex_n0.z + ex_s0.z) \
+        * ((ex_n0.z - ex_n0.h) - (ex_s0.z - ex_s0.h)) * inv_dy
+
+    d_z = (fe[0] - fw[0]) * inv_dx + (fn[0] - fs[0]) * inv_dy
+    d_qx = (fe[1] - fw[1]) * inv_dx + (fn[1] - fs[1]) * inv_dy - src_x
+    d_qy = (fe[2] - fw[2]) * inv_dx + (fn[2] - fs[2]) * inv_dy - src_y
+    d_z = _round_small(d_z, vs)
+    d_qx = _round_small(d_qx, vs)
+    d_qy = _round_small(d_qy, vs)
+
+    z_half = zc - 0.5 * dt * d_z
+    qx_half = qxc - 0.5 * dt * d_qx
+    qy_half = qyc - 0.5 * dt * d_qy
+    h_half = z_half - zbc
+
+    base = FaceExtrap(
+        z=jnp.where(first_order, zc, z_half),
+        h=jnp.where(first_order, hc, h_half),
+        qx=jnp.where(first_order, qxc, qx_half),
+        qy=jnp.where(first_order, qyc, qy_half))
+    sx_out = tuple(jnp.where(first_order, 0.0, s) for s in sx)
+    sy_out = tuple(jnp.where(first_order, 0.0, s) for s in sy)
+    return base, sx_out, sy_out
+
+
+def faces_from_base_slopes(base, sx, sy):
+    """Reconstruct the (N, E, S, W) FaceExtrap tuple from base + slopes;
+    bitwise-identical to muscl_predictor_interior's outputs."""
+    def extrap(slope, coef):
+        return FaceExtrap(z=base.z + coef * slope[0],
+                          h=base.h + coef * slope[1],
+                          qx=base.qx + coef * slope[2],
+                          qy=base.qy + coef * slope[3])
+    return (extrap(sy, +0.5), extrap(sx, +0.5),
+            extrap(sy, -0.5), extrap(sx, -0.5))
+
+
 def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
                              params: SchemeParams):
     """Full-timestep corrector for the two-ring interior of (M, Cc) arrays.

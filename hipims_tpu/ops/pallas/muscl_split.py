@@ -1,19 +1,24 @@
 """MUSCL-Hancock as TWO fused Pallas kernels (predictor / corrector).
 
 The single fused MUSCL kernel (predictor + two interface sweeps + update in
-one body) produces a Mosaic program large enough to stall the TPU kernel
-compiler, so the scheme is split at its natural seam — exactly where the
+one body) compiles but loses to this split: recomputing the predictor for
+the halo ring and the doubled VMEM working set outweigh the saved HBM
+round-trip.  The scheme is split at its natural seam — exactly where the
 reference splits it into mch_1st / mch_2nd kernel launches
 (src/Schemes/CSchemeMUSCLHancock.cpp:646-680):
 
   * kernel P: per row tile, DMA the five needed fields in (aligned halo),
-    run the half-step predictor in VMEM, write the 16 face-extrapolation
-    planes (4 faces x (z, h, qx, qy));
-  * kernel C: DMA state + extrapolations in, run the corrector + implicit
-    friction + CFL partial max in VMEM, write the 4 updated fields.
+    run the half-step predictor in VMEM, write the half-step BASE state +
+    limited SLOPES (12 planes: 4 x (z, h, qx, qy) for base/sx/sy) — the
+    four face extrapolations reconstruct bitwise as base +- 0.5*slope,
+    so this carries the same information as the reference's 16-plane
+    face store (sFaceStructure, CSchemeMUSCLHancock.cpp:469-496) in 25%
+    less HBM traffic;
+  * kernel C: DMA state + base/slopes in, reconstruct the faces in VMEM,
+    run the corrector + implicit friction + CFL partial max, write the 4
+    updated fields.
 
-HBM traffic ~ (5+16)*4 B in + (16+4)*4 B out ≈ 164 B/cell — double the
-fully-fused ideal but far below the unfused XLA path, and each kernel is
+HBM traffic ~ (5+12)*4 B in + (12+4)*4 B out ≈ 132 B/cell; each kernel is
 Godunov-sized so compilation is fast.  Same alignment contract and
 logical-ring masking as ops/pallas/stencil.py; the scheme's static ring is
 TWO cells (reference corrector bounds,
@@ -32,10 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 from ...state import DomainStatic, FlowState
 from ..godunov import SchemeParams
-from ..muscl import FaceExtrap, muscl_corrector_full, muscl_predictor_interior
+from ..muscl import (FaceExtrap, faces_from_base_slopes,
+                     muscl_corrector_full, muscl_predictor_base_slopes)
 from .stencil import HALO, pick_tile_rows, supports
 
-N_FACE = 16   # 4 faces x (z, h, qx, qy)
+N_PRED = 12   # base(z,h,qx,qy) + sx(4) + sy(4)
 RING = 2      # MUSCL static ring width
 
 
@@ -96,11 +102,11 @@ def _store_all(out_scr, outs, sem, t, tr):
 def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     n_in = 5
     ins = refs[:n_in]
-    outs = refs[n_in:n_in + N_FACE]
-    scr = refs[n_in + N_FACE]
-    out_scr = refs[n_in + N_FACE + 1]
-    sem_in = refs[n_in + N_FACE + 2]
-    sem_out = refs[n_in + N_FACE + 3]
+    outs = refs[n_in:n_in + N_PRED]
+    scr = refs[n_in + N_PRED]
+    out_scr = refs[n_in + N_PRED + 1]
+    sem_in = refs[n_in + N_PRED + 2]
+    sem_out = refs[n_in + N_PRED + 3]
 
     t = pl.program_id(0)
     tr = tile_rows
@@ -110,18 +116,23 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     z, zmax, qx, qy, zb = (scr[k, w0:w1, :] for k in range(n_in))
     dt = dt_ref[0, 0]
 
-    slabs = muscl_predictor_interior(z, zmax, qx, qy, zb, dt, params)
+    base, sx, sy = muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
+                                               params)
 
-    # First-order placeholders for the static edge columns (finite, and
-    # exactly what the reference's fallback stores for such cells).
-    inner = (slice(1, -1),)
+    # Static edge columns: first-order placeholders (base = original
+    # state, zero slopes) — finite, and exactly what the reference's
+    # fallback stores for such cells.
     fo = FaceExtrap(z=z[1:-1, :], h=z[1:-1, :] - zb[1:-1, :],
                     qx=qx[1:-1, :], qy=qy[1:-1, :])
     idx = 0
-    for face_slab in slabs:                        # N, E, S, W
-        for comp_slab, comp_fo in zip(face_slab, fo):
-            out_scr[idx] = jnp.concatenate(
-                [comp_fo[:, :1], comp_slab, comp_fo[:, -1:]], axis=1)
+    for slab, comp_fo in zip(base, fo):
+        out_scr[idx] = jnp.concatenate(
+            [comp_fo[:, :1], slab, comp_fo[:, -1:]], axis=1)
+        idx += 1
+    zeros = jnp.zeros((base.z.shape[0], 1), base.z.dtype)
+    for vec in (sx, sy):
+        for slab in vec:
+            out_scr[idx] = jnp.concatenate([zeros, slab, zeros], axis=1)
             idx += 1
 
     _store_all(out_scr, outs, sem_out, t, tr)
@@ -129,7 +140,7 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
                       logical_rows, logical_cols):
-    n_in = 6 + N_FACE
+    n_in = 6 + N_PRED
     ins = refs[:n_in]
     outs = refs[n_in:n_in + 4]
     speed_ref = refs[n_in + 4]
@@ -145,8 +156,10 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     w0, w1 = HALO - 1, HALO + tr + 1
     win = [scr[k, w0:w1, :] for k in range(n_in)]
     z, zmax, qx, qy, zb, n = win[:6]
-    faces = tuple(FaceExtrap(*win[6 + 4 * f:6 + 4 * (f + 1)])
-                  for f in range(4))
+    base = FaceExtrap(*win[6:10])
+    sx = tuple(win[10:14])
+    sy = tuple(win[14:18])
+    faces = faces_from_base_slopes(base, sx, sy)
     dt = dt_ref[0, 0]
 
     zi, zmaxi, qxi, qyi = muscl_corrector_full(z, zmax, qx, qy, zb, n,
@@ -208,21 +221,21 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     # ---- kernel P -------------------------------------------------------
     pk = functools.partial(_predictor_kernel, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols)
-    faces = pl.pallas_call(
+    pred = pl.pallas_call(
         pk,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_FACE,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_PRED,
             scratch_shapes=[
                 pltpu.VMEM((5, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((N_FACE, tile_rows, cols), dtype),
+                pltpu.VMEM((N_PRED, tile_rows, cols), dtype),
                 pltpu.SemaphoreType.DMA((5,)),
-                pltpu.SemaphoreType.DMA((N_FACE,)),
+                pltpu.SemaphoreType.DMA((N_PRED,)),
             ]),
-        out_shape=[plane] * N_FACE,
+        out_shape=[plane] * N_PRED,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
@@ -231,7 +244,7 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     ck = functools.partial(_corrector_kernel, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols,
                            logical_rows=lr, logical_cols=lc)
-    n_in = 6 + N_FACE
+    n_in = 6 + N_PRED
     zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
         ck,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -251,6 +264,6 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb,
-      static.manning, *faces)
+      static.manning, *pred)
 
     return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)
