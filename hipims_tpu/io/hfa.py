@@ -1,4 +1,4 @@
-"""Minimal Erdas Imagine (HFA / .img) raster reader.
+"""Minimal Erdas Imagine (HFA / .img) raster reader and writer.
 
 Implements the subset of the HFA format needed to read single-band DEM
 rasters like the reference's bundled Newcastle model
@@ -249,3 +249,166 @@ def read_hfa(path) -> Raster:
 
     return Raster(data=data, xll=xll, yll=yll, cell_size=cell,
                   nodata=nodata)
+
+
+# ---------------------------------------------------------------- write ----
+
+# MIF data dictionary covering exactly the node types we emit, in the
+# published dictionary syntax (so standard readers can interpret the file).
+_DICTIONARY = (
+    "{1:lwidth,1:lheight,1:e3:thematic,athematic,fft of real-valued data,"
+    "layerType,1:e13:u1,u2,u4,u8,s8,u16,s16,u32,s32,f32,f64,c64,c128,"
+    "pixelType,1:lblockWidth,1:lblockHeight,}Eimg_Layer,"
+    "{1:lnumvirtualblocks,1:lnumobjectsperblock,1:lnextobjectnum,"
+    "1:e2:no compression,ESRI GRID compression,compressionType,"
+    "0:poEdms_VirtualBlockInfo,blockinfo,0:poEdms_FreeIDList,freelist,"
+    "1:tmodTime,}Edms_State,"
+    "{1:SfileCode,1:Loffset,1:Lsize,1:e2:false,true,logvalid,"
+    "1:e2:no compression,RLC compression,compressiontype,}"
+    "Edms_VirtualBlockInfo,"
+    "{1:Lmin,1:Lmax,}Edms_FreeIDList,"
+    "{0:pcproName,1:*oEprj_Coordinate,upperLeftCenter,"
+    "1:*oEprj_Coordinate,lowerRightCenter,1:*oEprj_Size,pixelSize,"
+    "0:pcunits,}Eprj_MapInfo,"
+    "{1:dx,1:dy,}Eprj_Coordinate,"
+    "{1:dwidth,1:dheight,}Eprj_Size,"
+    "{1:*bvalueBD,}Eimg_NonInitializedValue,"
+    "."
+)
+
+_ENTRY_LEN = 128
+
+
+def _entry_bytes(nxt, prev, parent, child, data, dsize, name, typ):
+    raw = struct.pack("<IIIIIi", nxt, prev, parent, child, data, dsize)
+    raw += name.encode("latin1").ljust(64, b"\0")
+    raw += typ.encode("latin1").ljust(32, b"\0")
+    raw += struct.pack("<I", 0)                   # modTime
+    return raw.ljust(_ENTRY_LEN, b"\0")
+
+
+def write_hfa(path, raster: Raster):
+    """Write a single-band HFA (.img) file: uncompressed 64x64 blocks,
+    Eprj_MapInfo georeferencing and an Eimg_NonInitializedValue nodata
+    marker — the same node set ``read_hfa`` consumes (round-trip tested),
+    laid out per the published HFA container spec.  The reference emits
+    these through GDAL's HFA driver (src/Datasets/CRasterDataset.cpp)."""
+    data = np.asarray(raster.data)
+    if data.dtype == np.float64:
+        dtype, ptype, dt_code = np.dtype("<f8"), 10, 10
+    else:
+        data = data.astype(np.float32)
+        dtype, ptype, dt_code = np.dtype("<f4"), 9, 9
+    height, width = data.shape
+    bw = bh = 64
+    blocks_x = -(-width // bw)
+    blocks_y = -(-height // bh)
+    n_blocks = blocks_x * blocks_y
+    block_bytes = bw * bh * dtype.itemsize
+
+    nodata = raster.nodata if raster.nodata is not None else -9999.0
+    padded = np.full((blocks_y * bh, blocks_x * bw), nodata, dtype=dtype)
+    padded[:height, :width] = data
+
+    # ---- fixed-position plan ------------------------------------------
+    # [0:20)   header tag + ptr
+    # [20:40)  Ehfa_File
+    # entries: root, Layer_1, RasterDMS, Map_Info, NoDataValue
+    pos = 40
+    e_root = pos
+    e_layer = e_root + _ENTRY_LEN
+    e_dms = e_layer + _ENTRY_LEN
+    e_map = e_dms + _ENTRY_LEN
+    e_niv = e_map + _ENTRY_LEN
+    pos = e_niv + _ENTRY_LEN
+
+    d_layer = pos
+    layer_data = struct.pack("<iiHHii", width, height, 1, ptype, bw, bh)
+    pos += len(layer_data)
+
+    d_dms = pos
+    dms_head = struct.pack("<iiiH", n_blocks, bw * bh, n_blocks + 1, 0)
+    # 'p' pointer: count + file offset of the records (inline, next byte).
+    blockinfo_hdr_at = d_dms + len(dms_head)
+    records_at = blockinfo_hdr_at + 8
+    rec_len = 14
+    freelist_at = records_at + n_blocks * rec_len
+    dms_tail_len = 8 + 4                              # freelist ptr + modTime
+    pos = freelist_at + dms_tail_len
+
+    d_map = pos
+    proname = b"Generic Binary\0"
+    units = b"meters\0"
+    cell = raster.cell_size
+    ulx = raster.xll + cell / 2.0
+    uly = raster.yll + (height - 0.5) * cell
+    lrx = raster.xll + (width - 0.5) * cell
+    lry = raster.yll + cell / 2.0
+
+    map_parts = []
+    p = d_map
+    map_parts.append(struct.pack("<II", len(proname), p + 8))
+    map_parts.append(proname)
+    p += 8 + len(proname)
+    map_parts.append(struct.pack("<II", 1, p + 8))
+    map_parts.append(struct.pack("<dd", ulx, uly))
+    p += 8 + 16
+    map_parts.append(struct.pack("<II", 1, p + 8))
+    map_parts.append(struct.pack("<dd", lrx, lry))
+    p += 8 + 16
+    map_parts.append(struct.pack("<II", 1, p + 8))
+    map_parts.append(struct.pack("<dd", cell, cell))
+    p += 8 + 16
+    map_parts.append(struct.pack("<II", len(units), p + 8))
+    map_parts.append(units)
+    p += 8 + len(units)
+    map_data = b"".join(map_parts)
+    pos = d_map + len(map_data)
+
+    d_niv = pos
+    niv_data = (struct.pack("<II", 1, d_niv + 8)
+                + struct.pack("<iihh", 1, 1, dt_code, 0)
+                + np.asarray([nodata], dtype=dtype).tobytes())
+    pos = d_niv + len(niv_data)
+
+    # Block data, 16-byte aligned.
+    pos = (pos + 15) & ~15
+    d_blocks = pos
+    pos += n_blocks * block_bytes
+    d_dict = pos
+
+    # ---- assemble -------------------------------------------------------
+    out = bytearray()
+    out += b"EHFA_HEADER_TAG\0" + struct.pack("<I", 20)
+    out += struct.pack("<IIIhI", 1, 0, e_root, _ENTRY_LEN, d_dict)
+    out += b"\0" * (40 - len(out))
+
+    out += _entry_bytes(0, 0, 0, e_layer, 0, 0, "root", "root")
+    out += _entry_bytes(e_map, 0, e_root, e_dms, d_layer, len(layer_data),
+                        "Layer_1", "Eimg_Layer")
+    out += _entry_bytes(e_niv, 0, e_layer, 0, d_dms,
+                        freelist_at + dms_tail_len - d_dms,
+                        "RasterDMS", "Edms_State")
+    out += _entry_bytes(0, e_layer, e_root, 0, d_map, len(map_data),
+                        "Map_Info", "Eprj_MapInfo")
+    out += _entry_bytes(0, 0, e_layer, 0, d_niv, len(niv_data),
+                        "NoDataValue", "Eimg_NonInitializedValue")
+
+    out += layer_data
+    out += dms_head
+    out += struct.pack("<II", n_blocks, records_at)
+    for b in range(n_blocks):
+        out += struct.pack("<hiiHH", 0, d_blocks + b * block_bytes,
+                           block_bytes, 1, 0)
+    out += struct.pack("<II", 0, 0) + struct.pack("<I", 0)
+    out += map_data
+    out += niv_data
+    out += b"\0" * (d_blocks - len(out))
+
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
+            tile = padded[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw]
+            out += np.ascontiguousarray(tile).tobytes()
+
+    out += _DICTIONARY.encode("latin1") + b"\0"
+    Path(path).write_bytes(bytes(out))

@@ -314,9 +314,10 @@ def write_raster(path, raster: Raster, fmt: Optional[str] = None):
     fmt = (fmt or path.suffix.lstrip(".")).lower()
     if fmt in ("asc", "aaigrid"):
         _write_asc(path, raster)
-    elif fmt in ("tif", "tiff", "gtiff", "hfa", "img"):
-        # HFA output requests are honoured as GeoTIFF (no HFA writer);
-        # keep the requested filename.
+    elif fmt in ("tif", "tiff", "gtiff"):
         _write_tiff(path, raster)
+    elif fmt in ("hfa", "img"):
+        from .hfa import write_hfa
+        write_hfa(path, raster)
     else:
         raise ValueError(f"unsupported raster output format '{fmt}'")

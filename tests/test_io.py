@@ -218,3 +218,36 @@ def test_multi_domain_stitching(tmp_path):
     assert zb[0, 0] == 1.0       # lower domain rows
     assert zb[-1, 0] == 2.0      # upper domain rows
     assert zb[9, 0] == 2.0       # overlap rows taken from the later domain
+
+
+def test_hfa_write_read_roundtrip(tmp_path):
+    """The from-scratch HFA writer must round-trip through the HFA reader
+    (data, georeferencing, nodata), including non-multiple-of-64 grids."""
+    from hipims_tpu.io.hfa import read_hfa, write_hfa
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(50.0, 5.0, size=(70, 130)).astype(np.float32)
+    data[0, 0] = -9999.0
+    r = Raster(data=data, xll=421000.0, yll=563000.0, cell_size=2.0,
+               nodata=-9999.0)
+    write_raster(tmp_path / "out.img", r)
+
+    back = read_hfa(tmp_path / "out.img")
+    assert back.rows == 70 and back.cols == 130
+    np.testing.assert_array_equal(back.data, data)
+    assert back.xll == pytest.approx(421000.0)
+    assert back.yll == pytest.approx(563000.0)
+    assert back.cell_size == pytest.approx(2.0)
+    assert back.nodata == pytest.approx(-9999.0)
+
+    # float64 path
+    r64 = Raster(data=data.astype(np.float64), xll=0.0, yll=0.0,
+                 cell_size=10.0)
+    write_raster(tmp_path / "out64.img", r64)
+    back64 = read_hfa(tmp_path / "out64.img")
+    np.testing.assert_array_equal(back64.data, data.astype(np.float64))
+
+    # read_raster magic dispatch picks the HFA reader for .img output
+    again = read_raster(tmp_path / "out.img")
+    np.testing.assert_array_equal(again.to_domain_array(),
+                                  r.to_domain_array())
