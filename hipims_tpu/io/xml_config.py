@@ -41,10 +41,24 @@ class LoadedModel:
     target_dir: str
 
     def simulation(self, mesh=None) -> Simulation:
+        from ..runtime.output import (CompositeOutputWriter,
+                                      GaugeOutputWriter, read_gauge_map)
+        writers = []
+        rasters = [t for t in self.output_targets
+                   if t.get("kind", "raster") == "raster"]
+        if rasters:
+            writers.append(RasterOutputWriter(rasters, self.target_dir,
+                                              self.domain))
+        for t in self.output_targets:
+            if t.get("kind") == "timeseries":
+                gauges = read_gauge_map(t["source"])
+                writers.append(GaugeOutputWriter(
+                    t["value"], gauges,
+                    Path(self.target_dir) / t["target"], self.domain))
         writer = None
-        if self.output_targets:
-            writer = RasterOutputWriter(self.output_targets,
-                                        self.target_dir, self.domain)
+        if writers:
+            writer = (writers[0] if len(writers) == 1
+                      else CompositeOutputWriter(writers))
         return Simulation(self.domain, self.config,
                           boundaries=self.boundaries,
                           output_writer=writer, mesh=mesh)
@@ -132,10 +146,17 @@ def load_config(path) -> LoadedModel:
                     if v in ("structure", "dem"):
                         structure = rast
         for tgt in data_el.findall("dataTarget"):
-            targets.append(dict(
+            kind = tgt.get("type", "raster").strip().lower()
+            entry = dict(
+                kind=kind,
                 value=tgt.get("value", "depth").strip().lower(),
                 format=tgt.get("format", "GTiff").strip().lower(),
-                target=tgt.get("target", "out_%t.tif")))
+                target=tgt.get("target", "out_%t.tif"))
+            if kind == "timeseries":
+                # Point-gauge sampling (framework extension): source is a
+                # gauge map CSV of (x, y[, name]) world coordinates.
+                entry["source"] = str(base / tgt.get("source", ""))
+            targets.append(entry)
 
     if structure is None:
         raise ValueError(f"{path}: no structure/dem raster source")

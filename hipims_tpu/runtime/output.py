@@ -65,6 +65,72 @@ def derive_field(value: str, state, static, resolution: float) -> np.ndarray:
     return out
 
 
+class GaugeOutputWriter:
+    """Appends point-gauge samples of one field to a CSV at every output
+    time — one row per time, one column per gauge.
+
+    An extension over the reference (which only writes rasters); built for
+    laboratory cases compared against measured gauge records, e.g. the
+    dam-break-against-obstacle flume (reference resources:
+    tools/model-builder/tests/resources/dam-break-against-obstacle/)."""
+
+    def __init__(self, value, gauges, target_path, domain):
+        """gauges: [(x_world, y_world, name)]."""
+        import os
+        self.value = value
+        self.domain = domain
+        self.target_path = target_path
+        os.makedirs(os.path.dirname(str(target_path)) or ".", exist_ok=True)
+        self.cells = []
+        names = []
+        for x, y, name in gauges:
+            ci = int((x - domain.xll) / domain.dx)
+            ri = int((y - domain.yll) / domain.dy)
+            if 0 <= ri < domain.logical_rows and 0 <= ci < domain.logical_cols:
+                self.cells.append((ri, ci))
+                names.append(name)
+        with open(target_path, "w") as f:
+            f.write("Time (s)," + ",".join(names) + "\n")
+
+    def __call__(self, sim, t: float):
+        field = derive_field(self.value, sim.state_logical,
+                             sim.static_logical, sim.domain.dx)
+        vals = [field[r, c] for r, c in self.cells]
+        vals = [0.0 if v == NODATA else v for v in vals]
+        with open(self.target_path, "a") as f:
+            f.write(f"{t:.6f}," + ",".join(f"{v:.6f}" for v in vals) + "\n")
+
+
+class CompositeOutputWriter:
+    """Fans one output event out to several writers (rasters + gauges)."""
+
+    def __init__(self, writers):
+        self.writers = list(writers)
+
+    def __call__(self, sim, t: float):
+        for w in self.writers:
+            w(sim, t)
+
+
+def read_gauge_map(path):
+    """(x, y, name) rows from a gauge map CSV (same shape as the cell
+    boundary map files, reference: CBoundaryCell::importMap)."""
+    import csv
+    gauges = []
+    with open(path, newline="") as f:
+        for rec in csv.reader(f):
+            rec = [c.strip() for c in rec if c.strip() != ""]
+            if len(rec) < 2:
+                continue
+            try:
+                x, y = float(rec[0]), float(rec[1])
+            except ValueError:
+                continue
+            name = rec[2] if len(rec) >= 3 else f"G{len(gauges) + 1}"
+            gauges.append((x, y, name))
+    return gauges
+
+
 class RasterOutputWriter:
     """Writes the configured <dataTarget> rasters at each output time."""
 

@@ -251,3 +251,45 @@ def test_hfa_write_read_roundtrip(tmp_path):
     again = read_raster(tmp_path / "out.img")
     np.testing.assert_array_equal(again.to_domain_array(),
                                   r.to_domain_array())
+
+
+def test_gauge_timeseries_output(tmp_path):
+    """<dataTarget type="timeseries"> samples point gauges to a CSV."""
+    import textwrap
+    dem = Raster(data=np.zeros((16, 16)), xll=100.0, yll=200.0, cell_size=2.0)
+    write_raster(tmp_path / "dem.asc", dem)
+    (tmp_path / "gauges.csv").write_text(
+        "105,205,G_A\n115,215,G_B\n9999,9999,outside\n")
+    xml = textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <configuration>
+          <metadata><name>Gauge</name></metadata>
+          <simulation>
+            <parameter name="duration" value="20" />
+            <parameter name="outputFrequency" value="10" />
+            <domainSet><domain type="cartesian">
+              <data sourceDir="." targetDir="out/">
+                <dataSource type="constant" value="depth" source="0.25" />
+                <dataSource type="constant" value="manningCoefficient"
+                            source="0.03" />
+                <dataSource type="raster" value="structure,dem"
+                            source="dem.asc" />
+                <dataTarget type="timeseries" value="depth"
+                            source="gauges.csv" target="gauges_h.csv" />
+              </data>
+              <scheme name="Godunov" />
+            </domain></domainSet>
+          </simulation>
+        </configuration>
+    """)
+    (tmp_path / "model.xml").write_text(xml)
+    from hipims_tpu.io.xml_config import load_config
+    sim = load_config(tmp_path / "model.xml").simulation()
+    sim.run()
+    lines = (tmp_path / "out" / "gauges_h.csv").read_text().splitlines()
+    assert lines[0] == "Time (s),G_A,G_B"  # out-of-domain gauge dropped
+    assert len(lines) == 3  # header + t=10 + t=20
+    for line in lines[1:]:
+        t, a, b = (float(v) for v in line.split(","))
+        assert a == pytest.approx(0.25, abs=1e-6)
+        assert b == pytest.approx(0.25, abs=1e-6)
