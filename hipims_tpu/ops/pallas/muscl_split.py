@@ -39,64 +39,11 @@ from ...state import DomainStatic, FlowState
 from ..godunov import SchemeParams
 from ..muscl import (FaceExtrap, faces_from_base_slopes,
                      muscl_corrector_full, muscl_predictor_base_slopes)
-from .stencil import HALO, pick_tile_rows, supports
+from .stencil import (HALO, VMEM_LIMIT, pick_tile_rows, pipeline_epilogue,
+                      pipeline_prologue, supports)
 
 N_PRED = 12   # base(z,h,qx,qy) + sx(4) + sy(4)
 RING = 2      # MUSCL static ring width
-
-
-def _load_cases(ins, scr, sem, t, n_tiles, tr, rows):
-    """Three-case aligned halo load (see stencil.py for the contract)."""
-    n_in = len(ins)
-    is_first = t == 0
-    is_last = t == n_tiles - 1
-    not_first = jnp.logical_not(is_first)
-
-    def first_copy(k):
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(0, tr + HALO)],
-            scr.at[k, pl.ds(HALO, tr + HALO)], sem.at[k])
-
-    def last_copy(k):
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
-            scr.at[k, pl.ds(0, tr + HALO)], sem.at[k])
-
-    def mid_copy(k):
-        start = pl.multiple_of(t * tr - HALO, 8)
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(start, tr + 2 * HALO)], scr.at[k], sem.at[k])
-
-    @pl.when(is_first)
-    def _():
-        for k in range(n_in):
-            first_copy(k).start()
-        for k in range(n_in):
-            first_copy(k).wait()
-
-    @pl.when(not_first & is_last)
-    def _():
-        for k in range(n_in):
-            last_copy(k).start()
-        for k in range(n_in):
-            last_copy(k).wait()
-
-    @pl.when(not_first & jnp.logical_not(is_last))
-    def _():
-        for k in range(n_in):
-            mid_copy(k).start()
-        for k in range(n_in):
-            mid_copy(k).wait()
-
-
-def _store_all(out_scr, outs, sem, t, tr):
-    start = pl.multiple_of(t * tr, 8)
-    for k in range(len(outs)):
-        pltpu.make_async_copy(out_scr.at[k], outs[k].at[pl.ds(start, tr)],
-                              sem.at[k]).start()
-    for k in range(len(outs)):
-        pltpu.make_async_copy(out_scr.at[k], outs[k].at[pl.ds(start, tr)],
-                              sem.at[k]).wait()
 
 
 def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
@@ -109,11 +56,13 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     sem_out = refs[n_in + N_PRED + 3]
 
     t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     tr = tile_rows
-    _load_cases(ins, scr, sem_in, t, pl.num_programs(0), tr, rows)
+    slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
+                                    sem_out, t, n_tiles, tr, rows)
 
     w0, w1 = HALO - 1, HALO + tr + 1
-    z, zmax, qx, qy, zb = (scr[k, w0:w1, :] for k in range(n_in))
+    z, zmax, qx, qy, zb = (scr[slot, k, w0:w1, :] for k in range(n_in))
     dt = dt_ref[0, 0]
 
     base, sx, sy = muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
@@ -126,16 +75,17 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
                     qx=qx[1:-1, :], qy=qy[1:-1, :])
     idx = 0
     for slab, comp_fo in zip(base, fo):
-        out_scr[idx] = jnp.concatenate(
+        out_scr[slot, idx] = jnp.concatenate(
             [comp_fo[:, :1], slab, comp_fo[:, -1:]], axis=1)
         idx += 1
     zeros = jnp.zeros((base.z.shape[0], 1), base.z.dtype)
     for vec in (sx, sy):
         for slab in vec:
-            out_scr[idx] = jnp.concatenate([zeros, slab, zeros], axis=1)
+            out_scr[slot, idx] = jnp.concatenate([zeros, slab, zeros],
+                                                 axis=1)
             idx += 1
 
-    _store_all(out_scr, outs, sem_out, t, tr)
+    pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
 
 
 def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
@@ -150,11 +100,13 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     sem_out = refs[n_in + 8]
 
     t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     tr = tile_rows
-    _load_cases(ins, scr, sem_in, t, pl.num_programs(0), tr, rows)
+    slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
+                                    sem_out, t, n_tiles, tr, rows)
 
     w0, w1 = HALO - 1, HALO + tr + 1
-    win = [scr[k, w0:w1, :] for k in range(n_in)]
+    win = [scr[slot, k, w0:w1, :] for k in range(n_in)]
     z, zmax, qx, qy, zb, n = win[:6]
     base = FaceExtrap(*win[6:10])
     sx = tuple(win[10:14])
@@ -178,21 +130,24 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
         return jnp.concatenate(
             [old2d[1:-1, :1], interior, old2d[1:-1, -1:]], axis=1)
 
-    out_scr[0] = full_width(z, zi)
-    out_scr[1] = full_width(zmax, zmaxi)
-    out_scr[2] = full_width(qx, qxi)
-    out_scr[3] = full_width(qy, qyi)
+    zf = full_width(z, zi)
+    zmaxf = full_width(zmax, zmaxi)
+    qxf = full_width(qx, qxi)
+    qyf = full_width(qy, qyi)
+    out_scr[slot, 0] = zf
+    out_scr[slot, 1] = zmaxf
+    out_scr[slot, 2] = qxf
+    out_scr[slot, 3] = qyf
 
-    h = out_scr[0] - zb[1:-1, :]
-    wet = (h > params.quite_small) & (out_scr[1] > C.NODATA)
+    h = zf - zb[1:-1, :]
+    wet = (h > params.quite_small) & (zmaxf > C.NODATA)
     h_safe = jnp.where(wet, h, 1.0)
     cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
-    spd = jnp.maximum(jnp.abs(out_scr[2]), jnp.abs(out_scr[3])) / h_safe \
-        + cel
+    spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
     spd = jnp.where(wet, spd, 0.0)
     speed_ref[t, 0] = jnp.max(spd)
 
-    _store_all(out_scr, outs, sem_out, t, tr)
+    pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -230,13 +185,14 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
             + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_PRED,
             scratch_shapes=[
-                pltpu.VMEM((5, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((N_PRED, tile_rows, cols), dtype),
-                pltpu.SemaphoreType.DMA((5,)),
-                pltpu.SemaphoreType.DMA((N_PRED,)),
+                pltpu.VMEM((2, 5, tile_rows + 2 * HALO, cols), dtype),
+                pltpu.VMEM((2, N_PRED, tile_rows, cols), dtype),
+                pltpu.SemaphoreType.DMA((2, 5)),
+                pltpu.SemaphoreType.DMA((2, N_PRED)),
             ]),
         out_shape=[plane] * N_PRED,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
 
@@ -255,13 +211,14 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[
-                pltpu.VMEM((n_in, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((4, tile_rows, cols), dtype),
-                pltpu.SemaphoreType.DMA((n_in,)),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, n_in, tile_rows + 2 * HALO, cols), dtype),
+                pltpu.VMEM((2, 4, tile_rows, cols), dtype),
+                pltpu.SemaphoreType.DMA((2, n_in)),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ]),
         out_shape=[plane] * 4 + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb,
       static.manning, *pred)

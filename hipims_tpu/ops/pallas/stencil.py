@@ -31,6 +31,7 @@ backends agree bit-for-bit up to compiler fusion differences.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,9 +57,22 @@ INTERIOR = {
 }
 
 
+# Mosaic's default VMEM ceiling is 16 MiB; the physical VMEM on current
+# chips (e.g. v5e: 128 MiB) is far larger, so we raise the compiler limit
+# and size tiles against a working budget.  Both are env-tunable for
+# experiments.
+VMEM_LIMIT = int(os.environ.get("HIPIMS_PALLAS_VMEM_LIMIT", 96 * 2**20))
+VMEM_BUDGET = int(os.environ.get("HIPIMS_PALLAS_VMEM", 40 * 2**20))
+
+
 def pick_tile_rows(rows: int, cols: int, temp_floats: int = 40,
-                   vmem_budget=12 * 2**20) -> int:
+                   vmem_budget=None) -> int:
     """Largest multiple-of-8 divisor of ``rows`` within the VMEM budget."""
+    override = os.environ.get("HIPIMS_PALLAS_TILE_ROWS")
+    if override:
+        return int(override)
+    if vmem_budget is None:
+        vmem_budget = VMEM_BUDGET
     per_row = cols * 4 * temp_floats
     cap = max(8, min(vmem_budget // per_row, rows // 2))
     best = 0
@@ -66,6 +80,117 @@ def pick_tile_rows(rows: int, cols: int, temp_floats: int = 40,
         if rows % cand == 0 and cand <= cap:
             best = cand
     return best
+
+
+# ---------------------------------------------------------------------------
+# Double-buffered tile DMA (shared with muscl_split.py).
+#
+# Grid iterations run sequentially on a TensorCore and scratch/semaphores
+# persist across them, so tile t's kernel body prefetches tile t+1's halo
+# window into the other scratch slot and drains tile t's store lazily —
+# input DMA, compute, and output DMA all overlap.  Start/wait descriptor
+# pairs must match, hence the mirrored three-case structure (the halo
+# window is clamped at the array ends to keep every slice 8-row aligned).
+# ---------------------------------------------------------------------------
+
+def _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k):
+    if case == "first":
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(0, tr + HALO)],
+            scr.at[slot, k, pl.ds(HALO, tr + HALO)], sem.at[slot, k])
+    if case == "last":
+        return pltpu.make_async_copy(
+            ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
+            scr.at[slot, k, pl.ds(0, tr + HALO)], sem.at[slot, k])
+    start = pl.multiple_of(ti * tr - HALO, 8)
+    return pltpu.make_async_copy(
+        ins[k].at[pl.ds(start, tr + 2 * HALO)],
+        scr.at[slot, k], sem.at[slot, k])
+
+
+def _halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows, op):
+    n_in = len(ins)
+    is_first = ti == 0
+    is_last = ti == n_tiles - 1
+    not_first = jnp.logical_not(is_first)
+
+    def run(case):
+        for k in range(n_in):
+            dma = _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k)
+            dma.start() if op == "start" else dma.wait()
+
+    @pl.when(is_first)
+    def _():
+        run("first")
+
+    @pl.when(not_first & is_last)
+    def _():
+        run("last")
+
+    @pl.when(not_first & jnp.logical_not(is_last))
+    def _():
+        run("mid")
+
+
+def start_halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows):
+    _halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows, "start")
+
+
+def wait_halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows):
+    _halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows, "wait")
+
+
+def start_tile_store(outs, out_scr, sem, ti, slot, tr):
+    start = pl.multiple_of(ti * tr, 8)
+    for k in range(len(outs)):
+        pltpu.make_async_copy(out_scr.at[slot, k],
+                              outs[k].at[pl.ds(start, tr)],
+                              sem.at[slot, k]).start()
+
+
+def wait_tile_store(outs, out_scr, sem, slot, tr):
+    # The wait only consumes the semaphore byte count; every store moves
+    # the same (tr, cols) block, so a fixed-offset descriptor matches.
+    for k in range(len(outs)):
+        pltpu.make_async_copy(out_scr.at[slot, k],
+                              outs[k].at[pl.ds(0, tr)],
+                              sem.at[slot, k]).wait()
+
+
+def pipeline_prologue(ins, outs, scr, out_scr, sem_in, sem_out, t,
+                      n_tiles, tr, rows):
+    """Per-grid-step entry of the double-buffered pipeline: prefetch tile
+    t+1's halo window, wait for tile t's inputs, drain tile t-2's store.
+    Returns (slot, nslot)."""
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+
+    @pl.when(t == 0)
+    def _():
+        start_halo_load(ins, scr, sem_in, 0, 0, n_tiles, tr, rows)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_halo_load(ins, scr, sem_in, t + 1, nslot, n_tiles, tr, rows)
+
+    wait_halo_load(ins, scr, sem_in, t, slot, n_tiles, tr, rows)
+
+    @pl.when(t >= 2)
+    def _():
+        wait_tile_store(outs, out_scr, sem_out, slot, tr)
+
+    return slot, nslot
+
+
+def pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot):
+    """Start tile t's store; at the final tile drain both slots."""
+    start_tile_store(outs, out_scr, sem_out, t, slot, tr)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        wait_tile_store(outs, out_scr, sem_out, nslot, tr)
+        wait_tile_store(outs, out_scr, sem_out, slot, tr)
 
 
 def supports(rows: int, cols: int, tile_rows=None,
@@ -84,65 +209,25 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     ins = refs[:N_IN]
     outs = refs[N_IN:N_IN + N_OUT]
     speed_ref = refs[N_IN + N_OUT]
-    scr = refs[N_IN + N_OUT + 1]       # (N_IN, TR+2*HALO, C)
-    out_scr = refs[N_IN + N_OUT + 2]   # (N_OUT, TR, C)
+    scr = refs[N_IN + N_OUT + 1]       # (2, N_IN, TR+2*HALO, C)
+    out_scr = refs[N_IN + N_OUT + 2]   # (2, N_OUT, TR, C)
     sem_in = refs[N_IN + N_OUT + 3]
     sem_out = refs[N_IN + N_OUT + 4]
 
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     tr = tile_rows
-    is_first = t == 0
-    is_last = t == n_tiles - 1
-
-    # ---- load tile + aligned halo ---------------------------------------
-    # scr row HALO+j always holds global row t*TR+j; the out-of-range halo
-    # rows of the first/last tiles hold stale data that only feeds the
-    # masked-out ring rows.  DMA waits must match the copy descriptor, so
-    # each placement case starts AND waits its own copies.
-    def _first_copy(k):
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(0, tr + HALO)],
-            scr.at[k, pl.ds(HALO, tr + HALO)], sem_in.at[k])
-
-    def _last_copy(k):
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
-            scr.at[k, pl.ds(0, tr + HALO)], sem_in.at[k])
-
-    def _mid_copy(k):
-        start = pl.multiple_of(t * tr - HALO, 8)
-        return pltpu.make_async_copy(
-            ins[k].at[pl.ds(start, tr + 2 * HALO)],
-            scr.at[k], sem_in.at[k])
-
-    not_first = jnp.logical_not(is_first)
-
-    @pl.when(is_first)
-    def _():
-        for k in range(N_IN):
-            _first_copy(k).start()
-        for k in range(N_IN):
-            _first_copy(k).wait()
-
-    @pl.when(not_first & is_last)
-    def _():
-        for k in range(N_IN):
-            _last_copy(k).start()
-        for k in range(N_IN):
-            _last_copy(k).wait()
-
-    @pl.when(not_first & jnp.logical_not(is_last))
-    def _():
-        for k in range(N_IN):
-            _mid_copy(k).start()
-        for k in range(N_IN):
-            _mid_copy(k).wait()
+    # Double-buffered pipeline: prefetch tile t+1 while computing t.
+    # scr row HALO+j of a slot holds global row ti*TR+j; the out-of-range
+    # halo rows of the first/last tiles hold stale data that only feeds
+    # the masked-out ring rows.
+    slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
+                                    sem_out, t, n_tiles, tr, rows)
 
     # Compute window: interior of [HALO-radius, HALO+TR+radius) == output
     # rows.
     w0, w1 = HALO - radius, HALO + tr + radius
-    z, zmax, qx, qy, zb, n = (scr[k, w0:w1, :] for k in range(N_IN))
+    z, zmax, qx, qy, zb, n = (scr[slot, k, w0:w1, :] for k in range(N_IN))
     dt = dt_ref[0, 0]
 
     zi, zmaxi, qxi, qyi = interior_fn(z, zmax, qx, qy, zb, n, dt, params)
@@ -164,36 +249,31 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
         return jnp.concatenate(
             [old2d[rs, :radius], interior, old2d[rs, -radius:]], axis=1)
 
-    out_scr[0] = full_width(z, zi)
-    out_scr[1] = full_width(zmax, zmaxi)
-    out_scr[2] = full_width(qx, qxi)
-    out_scr[3] = full_width(qy, qyi)
+    zf = full_width(z, zi)
+    zmaxf = full_width(zmax, zmaxi)
+    qxf = full_width(qx, qxi)
+    qyf = full_width(qy, qyi)
+    out_scr[slot, 0] = zf
+    out_scr[slot, 1] = zmaxf
+    out_scr[slot, 2] = qxf
+    out_scr[slot, 3] = qyf
 
     # ---- fused CFL partial max over the updated rows ---------------------
     # Covers every global row across the tile set, like the reference's
     # full-grid reduction (src/Schemes/CLDynamicTimestep.clc:185-223).
-    h = out_scr[0] - zb[rs, :]
-    wet = (h > params.quite_small) & (out_scr[1] > C.NODATA)
+    h = zf - zb[rs, :]
+    wet = (h > params.quite_small) & (zmaxf > C.NODATA)
     h_safe = jnp.where(wet, h, 1.0)
     cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
     if simplified_speed:
         spd = cel
     else:
-        spd = jnp.maximum(jnp.abs(out_scr[2]),
-                          jnp.abs(out_scr[3])) / h_safe + cel
+        spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
     spd = jnp.where(wet, spd, 0.0)
     speed_ref[t, 0] = jnp.max(spd)
 
-    # ---- write back (aligned full-tile rows) -----------------------------
-    out_start = pl.multiple_of(t * tr, 8)
-    for k in range(N_OUT):
-        pltpu.make_async_copy(
-            out_scr.at[k], outs[k].at[pl.ds(out_start, tr)],
-            sem_out.at[k]).start()
-    for k in range(N_OUT):
-        pltpu.make_async_copy(
-            out_scr.at[k], outs[k].at[pl.ds(out_start, tr)],
-            sem_out.at[k]).wait()
+    # ---- write back (async; drained two tiles later / at the end) --------
+    pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -235,10 +315,10 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_OUT
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((N_IN, tile_rows + 2 * HALO, cols), dtype),
-            pltpu.VMEM((N_OUT, tile_rows, cols), dtype),
-            pltpu.SemaphoreType.DMA((N_IN,)),
-            pltpu.SemaphoreType.DMA((N_OUT,)),
+            pltpu.VMEM((2, N_IN, tile_rows + 2 * HALO, cols), dtype),
+            pltpu.VMEM((2, N_OUT, tile_rows, cols), dtype),
+            pltpu.SemaphoreType.DMA((2, N_IN)),
+            pltpu.SemaphoreType.DMA((2, N_OUT)),
         ],
     )
 
@@ -251,7 +331,8 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy,
       static.zb, static.manning)
