@@ -284,6 +284,76 @@ def build_lake_at_rest(directory, name="lake-at-rest", n=128,
                  validation=validation, **kw)
 
 
+def build_dam_break_emerging_bed(directory, name="dam-break-emerging-bed",
+                                 resolution=0.25, slope_angle=np.pi / 60.0,
+                                 dam_level=1.0, dam_position=20.0,
+                                 upstream=20.0, downstream=45.0,
+                                 duration=8.0, scheme="muscl-hancock",
+                                 **kw):
+    """Dam break over an emerging (upward-sloping) bed, for which the
+    wet/dry front location is known in closed form (reference analogue:
+    TestDamBreakAgainstObstacle sibling TestDamBreakEmergingBed.js;
+    solution from Xing et al. 2010, Adv. Water Resour. 33:1476-1493).
+
+    Bed z(x) = (x - dam_position) * tan(a); still water at FSL
+    ``dam_level`` behind the dam; frictionless.  The front advances as
+
+        x_f(t) = 2 t sqrt(g h0 cos a) - 0.5 g t^2 tan a     (h0 = dam_level)
+
+    decelerating as it climbs the emerging bed.  Emits per-interval
+    validation rasters: ``front_exact_<t>.asc`` with the reference's
+    0/1/2 coding (dry beyond front / wet behind front / front cell) and
+    ``front_velocity_<t>.asc`` holding d x_f/dt = 2 sqrt(g h0 cos a)
+    - g t tan a on the front cells (the reference's JS evaluates this
+    derivative with t^2, which does not differentiate x_f; we emit the
+    true derivative).  Tests moving wet/dry fronts + positivity on an
+    adverse slope."""
+    from .. import constants as C
+
+    rows = 8
+    n = int(round((upstream + downstream) / resolution))
+    x = (np.arange(n) + 0.5) * resolution
+    xi = x - dam_position                       # dam at xi = 0
+    zb1 = xi * np.tan(slope_angle)
+    zb = zb1[None, :].repeat(rows, 0)
+    zb[:2, :] = 9999.9
+    zb[-2:, :] = 9999.9
+
+    depth1 = np.where(xi <= 0.0, np.maximum(dam_level - zb1, 0.0), 0.0)
+    depth = depth1[None, :].repeat(rows, 0)
+    depth[:2] = 0.0
+    depth[-2:] = 0.0
+
+    h0 = dam_level
+    celerity0 = 2.0 * np.sqrt(C.GRAVITY * h0 * np.cos(slope_angle))
+    out_freq = duration / 4
+    validation = {}
+    for k in range(1, 5):
+        t = k * out_freq
+        front = (celerity0 * t
+                 - 0.5 * C.GRAVITY * t * t * np.tan(slope_angle))
+        # Snap to the nearest cell centre, as the reference does.
+        front = (np.floor((front - resolution / 2) / resolution)
+                 * resolution + resolution / 2)
+        code1 = np.where(
+            xi <= front + 0.75 * resolution,
+            np.where(np.abs(xi - front) <= resolution / 2, 2.0, 1.0), 0.0)
+        code = code1[None, :].repeat(rows, 0)
+        code[:2] = 0.0
+        code[-2:] = 0.0
+        validation[f"front_exact_{int(t)}.asc"] = code
+        vel = np.where(
+            code == 2.0,
+            celerity0 - C.GRAVITY * t * np.tan(slope_angle), 0.0)
+        validation[f"front_velocity_{int(t)}.asc"] = vel
+
+    return _emit(directory, name,
+                 "Dam break over an emerging bed (Xing et al. 2010)",
+                 zb, {}, duration, out_freq, scheme=scheme,
+                 resolution=resolution, manning=0.0, friction="no",
+                 depth=depth, validation=validation, **kw)
+
+
 def build_dam_break_obstacle(directory, name="dam-break-obstacle",
                              resolution=0.1, duration=30.0,
                              scheme="muscl-hancock", **kw):
@@ -344,6 +414,7 @@ BUILDERS = {
     "dam-break": build_dam_break,
     "sloshing-bowl": build_sloshing_bowl,
     "lake-at-rest": build_lake_at_rest,
+    "dam-break-emerging-bed": build_dam_break_emerging_bed,
     "dam-break-obstacle": build_dam_break_obstacle,
 }
 

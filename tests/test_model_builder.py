@@ -91,3 +91,31 @@ def test_decomposed_config_stitches_to_same_model(tmp_path):
                         "depth_exact_10.asc").to_domain_array()
     l1 = np.abs(sim.depth()[3:5, 2:-2] - exact[3:5, 2:-2]).mean()
     assert l1 < 0.03, f"L1 vs validation raster {l1}"
+
+
+def test_dam_break_emerging_bed_front_location(tmp_path):
+    """The wet/dry front climbing the emerging bed must track the
+    analytic front x_f(t) = 2t*sqrt(g*h0*cos a) - g*t^2*tan(a)/2
+    (Xing et al. 2010; reference analogue: TestDamBreakEmergingBed.js)."""
+    mb_main(["-t", "dam-break-emerging-bed", "-d", str(tmp_path / "eb")])
+    model = load_config(tmp_path / "eb" / "dam-break-emerging-bed.xml")
+    sim = model.simulation()
+    sim.run_to(4.0)
+
+    code = read_raster(tmp_path / "eb" / "validation" /
+                       "front_exact_4.asc").to_domain_array()
+    h = sim.depth()
+    dx = model.domain.dx
+    mid = 4
+    # Simulated front: outermost cell with meaningful depth.
+    wet = np.nonzero(h[mid] > 1e-3)[0]
+    assert wet.size, "flow vanished"
+    front_sim = (wet.max() + 0.5) * dx
+    exact_cells = np.nonzero(code[mid] == 2.0)[0]
+    assert exact_cells.size == 1
+    front_exact = (exact_cells[0] + 0.5) * dx
+    err = abs(front_sim - front_exact)
+    assert err < 1.5, (f"front at {front_sim:.2f} m, analytic "
+                       f"{front_exact:.2f} m (err {err:.2f} m)")
+    # Upstream of the front the water is contiguous (positivity held).
+    assert (h[mid, wet.min():wet.max()] >= 0).all()
