@@ -80,6 +80,12 @@ def _source_line(kind, value, source):
             f'source="{source}" />')
 
 
+def _tstr(t):
+    """Lossless, filesystem-safe time label: 10.0 -> '10', 1.5 -> '1.5'
+    (int() truncation collides for non-multiple-of-4 durations)."""
+    return f"{float(t):g}"
+
+
 def _emit(directory, name, description, zb, extras, duration,
           output_frequency, scheme="godunov", resolution=2.0,
           manning=0.03, friction="yes", courant=0.5, rainfall=None,
@@ -217,7 +223,7 @@ def build_dam_break(directory, name="dam-break", n=400, resolution=2.0,
             h_ex, _ = stoker_wet_dam_break(h_up, h_down, x, t, x0)
         else:
             h_ex, _ = ritter_dry_dam_break(h_up, x, t, x0)
-        validation[f"depth_exact_{int(t)}.asc"] = \
+        validation[f"depth_exact_{_tstr(t)}.asc"] = \
             h_ex[None, :].repeat(rows, 0)
 
     return _emit(directory, name, "Stoker/Ritter dam break", zb, {},
@@ -249,7 +255,7 @@ def build_sloshing_bowl(directory, name="sloshing-bowl", n=200,
     for k in range(1, 5):
         t = k * out_freq
         h_ex = np.maximum(case.surface(x, t) - zb1, 0.0)
-        validation[f"depth_exact_{int(t)}.asc"] = \
+        validation[f"depth_exact_{_tstr(t)}.asc"] = \
             h_ex[None, :].repeat(rows, 0)
     return _emit(directory, name, "Thacker sloshing parabolic bowl", zb,
                  {}, duration, out_freq, scheme=scheme, resolution=dxr,
@@ -276,7 +282,7 @@ def build_lake_at_rest(directory, name="lake-at-rest", n=128,
 
     out_freq = duration / 4
     h0 = np.maximum(fsl - zb, 0.0)
-    validation = {f"depth_exact_{int(k * out_freq)}.asc": h0
+    validation = {f"depth_exact_{_tstr(k * out_freq)}.asc": h0
                   for k in range(1, 5)}
     return _emit(directory, name, "Lake at rest (well-balancedness)", zb,
                  {}, duration, out_freq, scheme=scheme,
@@ -341,11 +347,13 @@ def build_dam_break_emerging_bed(directory, name="dam-break-emerging-bed",
         code = code1[None, :].repeat(rows, 0)
         code[:2] = 0.0
         code[-2:] = 0.0
-        validation[f"front_exact_{int(t)}.asc"] = code
+        validation[f"front_exact_{_tstr(t)}.asc"] = code
+        # Non-front cells carry NODATA (-9999), matching the reference's
+        # null coding; 0.0 would read as a valid velocity sample.
         vel = np.where(
             code == 2.0,
-            celerity0 - C.GRAVITY * t * np.tan(slope_angle), 0.0)
-        validation[f"front_velocity_{int(t)}.asc"] = vel
+            celerity0 - C.GRAVITY * t * np.tan(slope_angle), -9999.0)
+        validation[f"front_velocity_{_tstr(t)}.asc"] = vel
 
     return _emit(directory, name,
                  "Dam break over an emerging bed (Xing et al. 2010)",
