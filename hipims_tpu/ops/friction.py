@@ -26,20 +26,25 @@ def implicit_friction(z, qx, qy, zb, manning, dt, very_small):
     h_safe = jnp.where(skip, 1.0, h)
     q_safe = jnp.where(skip, 1.0, q_mag)
 
-    # h^(1/3) via exp/log (h_safe > 0 on the non-skip path); matches the
-    # reference's pow(h, 1.0/3.0) and lowers cleanly in Pallas/Mosaic.
-    cf = GRAVITY * manning * manning / jnp.exp(jnp.log(h_safe) / 3.0)
-    inv_h2 = cf / (h_safe * h_safe)
+    # cf / h^2 = g n^2 h^(-1/3) / h^2 = g n^2 h^(-7/3): one exp/log pair
+    # (h_safe > 0 on the non-skip path) replaces the reference's
+    # pow(h, 1/3) plus two divisions, and lowers cleanly in Pallas/Mosaic.
+    inv_h2 = GRAVITY * manning * manning \
+        * jnp.exp(jnp.log(h_safe) * (-7.0 / 3.0))
     sfx = -inv_h2 * qx * q_mag
     sfy = -inv_h2 * qy * q_mag
-    dx_den = 1.0 + dt * inv_h2 * (2.0 * qx * qx + qy * qy) / q_safe
-    dy_den = 1.0 + dt * inv_h2 * (qx * qx + 2.0 * qy * qy) / q_safe
+    inv_q = 1.0 / q_safe
+    dt_ih2_iq = dt * inv_h2 * inv_q
+    dx_den = 1.0 + dt_ih2_iq * (2.0 * qx * qx + qy * qy)
+    dy_den = 1.0 + dt_ih2_iq * (qx * qx + 2.0 * qy * qy)
     fx = sfx / dx_den
     fy = sfy / dy_den
 
-    # Friction may stop the flow but never reverse it.
-    limit_x = -qx / dt
-    limit_y = -qy / dt
+    # Friction may stop the flow but never reverse it.  dt is a scalar, so
+    # one scalar reciprocal serves every lane.
+    neg_inv_dt = -1.0 / dt
+    limit_x = qx * neg_inv_dt
+    limit_y = qy * neg_inv_dt
     fx = jnp.where(qx >= 0.0, jnp.maximum(fx, limit_x), jnp.minimum(fx, limit_x))
     fy = jnp.where(qy >= 0.0, jnp.maximum(fy, limit_y), jnp.minimum(fy, limit_y))
 

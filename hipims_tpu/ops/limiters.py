@@ -13,9 +13,23 @@ from ..constants import MINBEE_BETA
 
 
 def limited_slope(left, center, right):
-    """Component-wise MINBEE-limited slope."""
+    """Component-wise MINBEE-limited slope.
+
+    For the reference's beta = 1 the MINBEE function reduces exactly to
+    MINMOD: phi = max(0, min(r, 1)), so phi * region_l is region_l when
+    r >= 1, region_r when 0 <= r < 1 and 0 otherwise.  Evaluating that
+    piecewise form directly avoids the per-component division (the hot
+    kernels call this 8x per cell), at a <=1-ulp difference from the
+    ratio form (r * region_l rounds once more).
+    """
     region_l = center - left
     region_r = right - center
+    if MINBEE_BETA == 1.0:
+        pos = (region_l > 0.0) & (region_r > 0.0)
+        neg = (region_l < 0.0) & (region_r < 0.0)
+        return jnp.where(pos, jnp.minimum(region_l, region_r),
+                         jnp.where(neg, jnp.maximum(region_l, region_r),
+                                   0.0))
     r = jnp.where(region_l == 0.0, 0.0, region_r
                   / jnp.where(region_l == 0.0, 1.0, region_l))
     phi = jnp.maximum(

@@ -78,13 +78,18 @@ def solve_interfaces(zl, zbl, qal, qcl, zr, zbr, qar, qcr,
     vs = very_small
 
     # Raw depths and velocities (velocity zeroed below the dry threshold, as
-    # in the reference's pre-reconstruction step).
+    # in the reference's pre-reconstruction step).  One reciprocal per side
+    # serves both components — division is the costly VPU op here.
     hl_raw = zl - zbl
     hr_raw = zr - zbr
-    ual = jnp.where(hl_raw < vs, 0.0, _safe_div(qal, hl_raw))
-    ucl = jnp.where(hl_raw < vs, 0.0, _safe_div(qcl, hl_raw))
-    uar = jnp.where(hr_raw < vs, 0.0, _safe_div(qar, hr_raw))
-    ucr = jnp.where(hr_raw < vs, 0.0, _safe_div(qcr, hr_raw))
+    inv_hl = jnp.where(hl_raw < vs, 0.0,
+                       1.0 / jnp.where(hl_raw < vs, 1.0, hl_raw))
+    inv_hr = jnp.where(hr_raw < vs, 0.0,
+                       1.0 / jnp.where(hr_raw < vs, 1.0, hr_raw))
+    ual = qal * inv_hl
+    ucl = qcl * inv_hl
+    uar = qar * inv_hr
+    ucr = qcr * inv_hr
 
     # Non-negative reconstruction against the common (max) bed.
     zbm = jnp.maximum(zbl, zbr)
@@ -113,10 +118,14 @@ def solve_interfaces_muscl(zl_e, hl_e, qal_e, qcl_e,
     """
     vs = very_small
 
-    ual = jnp.where(hl_e <= vs, 0.0, _safe_div(qal_e, hl_e))
-    ucl = jnp.where(hl_e <= vs, 0.0, _safe_div(qcl_e, hl_e))
-    uar = jnp.where(hr_e <= vs, 0.0, _safe_div(qar_e, hr_e))
-    ucr = jnp.where(hr_e <= vs, 0.0, _safe_div(qcr_e, hr_e))
+    inv_hl = jnp.where(hl_e <= vs, 0.0,
+                       1.0 / jnp.where(hl_e <= vs, 1.0, hl_e))
+    inv_hr = jnp.where(hr_e <= vs, 0.0,
+                       1.0 / jnp.where(hr_e <= vs, 1.0, hr_e))
+    ual = qal_e * inv_hl
+    ucl = qcl_e * inv_hl
+    uar = qar_e * inv_hr
+    ucr = qcr_e * inv_hr
 
     zbm = jnp.maximum(zl_e - hl_e, zr_e - hr_e)
     hl = jnp.maximum(zl_e - zbm, 0.0)
@@ -153,17 +162,20 @@ def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
 
     al = jnp.sqrt(g * hl)
     ar = jnp.sqrt(g * hr)
+    # a_star = sqrt(g * h_star) with h_star = (a_avg + (vl-vr)/4)^2 / g
+    # collapses to |a_avg + (vl-vr)/4| — no square, division or sqrt.
     a_avg = 0.5 * (al + ar)
-    h_star = (a_avg + 0.25 * (vl - vr)) ** 2 / g
     u_star = 0.5 * (vl + vr) + al - ar
-    a_star = jnp.sqrt(g * h_star)
+    a_star = jnp.abs(a_avg + 0.25 * (vl - vr))
 
     s_l = jnp.where(hl < vs, vr - 2.0 * ar,
                     jnp.minimum(vl - al, u_star - a_star))
     s_r = jnp.where(hr < vs, vl + 2.0 * al,
                     jnp.maximum(vr + ar, u_star + a_star))
-    sm_den = hr * (vr - s_r) - hl * (vl - s_l)
-    s_m = _safe_div(s_l * hr * (vr - s_r) - s_r * hl * (vl - s_l), sm_den)
+    mom_r = hr * (vr - s_r)
+    mom_l = hl * (vl - s_l)
+    sm_den = mom_r - mom_l
+    s_m = _safe_div(s_l * mom_r - s_r * mom_l, sm_den)
 
     # Shift-invariant pressure part: 0.5 g h^2 (the datum term
     # -0.5 g zb_local^2 is per-cell and added at assembly).
@@ -178,10 +190,12 @@ def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
     fr_cross = vr * qcr_r
 
     sdiff = s_r - s_l
-    f1_m = _safe_div(s_r * fl_mass - s_l * fr_mass + s_l * s_r * (hr - hl),
-                     sdiff)
-    f2_m = _safe_div(s_r * fl_along - s_l * fr_along
-                     + s_l * s_r * (fr_mass - fl_mass), sdiff)
+    inv_sdiff = jnp.where(sdiff == 0.0, 0.0,
+                          1.0 / jnp.where(sdiff == 0.0, 1.0, sdiff))
+    slsr = s_l * s_r
+    f1_m = (s_r * fl_mass - s_l * fr_mass + slsr * (hr - hl)) * inv_sdiff
+    f2_m = (s_r * fl_along - s_l * fr_along
+            + slsr * (fr_mass - fl_mass)) * inv_sdiff
 
     b_left = s_l >= 0.0
     b_right = (s_l < 0.0) & (s_r < 0.0)
