@@ -50,4 +50,10 @@ def implicit_friction(z, qx, qy, zb, manning, dt, very_small):
 
     qx_new = jnp.where(skip, qx, qx + dt * fx)
     qy_new = jnp.where(skip, qy, qy + dt * fy)
+    # The clamp bound qx * (-1/dt) can sit 1 ulp past the exact -qx/dt when
+    # dt is not a power of two, so qx + dt*fx could land one ulp across
+    # zero; zero any sign flip so "friction never reverses flow" holds
+    # exactly (reference: CLFriction.clc:61-66 compares against -q/dt).
+    qx_new = jnp.where(qx_new * qx < 0.0, 0.0, qx_new)
+    qy_new = jnp.where(qy_new * qy < 0.0, 0.0, qy_new)
     return qx_new, qy_new

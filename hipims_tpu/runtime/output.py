@@ -13,6 +13,7 @@ import numpy as np
 
 from .. import constants as C
 from ..io.raster import Raster, write_raster
+from ..utils import time_label
 
 NODATA = -9999.0
 _EPS = 1e-8
@@ -148,7 +149,7 @@ class RasterOutputWriter:
         for tgt in self.targets:
             field = derive_field(tgt["value"], sim.state_logical,
                                  sim.static_logical, sim.domain.dx)
-            name = tgt["target"].replace("%t", str(int(round(t))))
+            name = tgt["target"].replace("%t", time_label(t))
             raster = Raster.from_domain_array(
                 field, xll=self.domain.xll, yll=self.domain.yll,
                 cell_size=self.domain.dx, nodata=NODATA)

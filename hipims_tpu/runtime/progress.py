@@ -19,9 +19,14 @@ class ProgressReporter:
         self._last = 0.0
         self._last_steps = 0
         self._last_t = 0.0
+        self._elapsed = 0.0   # device seconds accumulated since last print
         self._start = time.monotonic()
 
     def __call__(self, sim, t_now, batch_elapsed):
+        # d_steps spans every batch since the last print, so the rate must
+        # divide by the elapsed time of all of them, not just the batch
+        # that triggered the print.
+        self._elapsed += batch_elapsed
         now = time.monotonic()
         if now - self._last < self.interval or self.quiet:
             return
@@ -29,14 +34,16 @@ class ProgressReporter:
         steps = sim.total_steps
         d_steps = steps - self._last_steps
         cells = sim.domain.cell_count
-        rate = d_steps * cells / max(batch_elapsed, 1e-9)
+        elapsed = max(self._elapsed, 1e-9)
+        rate = d_steps * cells / elapsed
         dur = sim.config.duration
         pct = 100.0 * t_now / dur if dur else 0.0
-        sim_speed = (t_now - self._last_t) / max(batch_elapsed, 1e-9)
+        sim_speed = (t_now - self._last_t) / elapsed
         eta = (dur - t_now) / max(sim_speed, 1e-12)
         avg_dt = (t_now - self._last_t) / max(d_steps, 1)
         self._last_steps = steps
         self._last_t = t_now
+        self._elapsed = 0.0
         self.log.line(
             f"t={t_now:10.1f}s {pct:5.1f}%  dt≈{avg_dt:8.4f}s  "
             f"batch={sim._batch_size:<5d} {rate / 1e6:8.1f} Mcells/s  "

@@ -28,6 +28,7 @@ from pathlib import Path
 import numpy as np
 
 from ..io.raster import Raster, write_raster
+from ..utils import time_label
 from ..validation.cases import (SloshingBowl, ritter_dry_dam_break,
                                 stoker_wet_dam_break)
 
@@ -81,9 +82,9 @@ def _source_line(kind, value, source):
 
 
 def _tstr(t):
-    """Lossless, filesystem-safe time label: 10.0 -> '10', 1.5 -> '1.5'
-    (int() truncation collides for non-multiple-of-4 durations)."""
-    return f"{float(t):g}"
+    """Lossless, filesystem-safe time label (shared with the production
+    raster writer so validation filenames match outputs)."""
+    return time_label(t)
 
 
 def _emit(directory, name, description, zb, extras, duration,

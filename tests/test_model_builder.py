@@ -93,19 +93,20 @@ def test_decomposed_config_stitches_to_same_model(tmp_path):
     assert l1 < 0.03, f"L1 vs validation raster {l1}"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="Known deficiency of the reference's scheme class: hydrostatic "
+_EMERGING_BED_FRONT_LAG_REASON = (
+    "Known deficiency of the reference's scheme class: hydrostatic "
     "(max-bed) reconstruction truncates every face depth on an adverse "
     "slope by the bed riser (dx*tan a), throttling the thin rarefaction "
-    "tail; the wet/dry front lags the analytic x_f by 7.5 m at dx=0.25 "
+    "tail; the wet/dry front lags the analytic x_f by ~7.5 m at dx=0.25 "
     "(t=4, pi/60 slope).  A 1-D convergence study shows the lag shrinks "
     "only ~order-0.3 (-5.9 m at dx=0.125, -3.1 m at dx=0.0156), so no "
-    "resolution practical here meets the 1.5 m tolerance.  The reference "
+    "practical resolution meets the 1.5 m tolerance.  The reference "
     "(same Audusse reconstruction, CLSchemeGodunov.clc:27-159) lags "
     "identically; its TestDamBreakEmergingBed.js only EMITS validation "
     "rasters and never asserts.  Fixing this requires a subcell "
     "partially-wet front reconstruction (Bollermann et al. 2013).")
+
+
 def _run_emerging_bed(tmp_path):
     mb_main(["-t", "dam-break-emerging-bed", "-d", str(tmp_path / "eb")])
     model = load_config(tmp_path / "eb" / "dam-break-emerging-bed.xml")
@@ -131,19 +132,7 @@ def test_dam_break_emerging_bed_positivity(tmp_path):
     assert (wet.max() + 0.5) * model.domain.dx > 28.0
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="Known deficiency of the reference's scheme class: hydrostatic "
-    "(max-bed) reconstruction truncates every face depth on an adverse "
-    "slope by the bed riser (dx*tan a), throttling the thin rarefaction "
-    "tail; the wet/dry front lags the analytic x_f by ~7.5 m at dx=0.25 "
-    "(t=4, pi/60 slope).  A 1-D convergence study shows the lag shrinks "
-    "only ~order-0.3 (-5.9 m at dx=0.125, -3.1 m at dx=0.0156), so no "
-    "practical resolution meets the 1.5 m tolerance.  The reference "
-    "(same Audusse reconstruction, CLSchemeGodunov.clc:27-159) lags "
-    "identically; its TestDamBreakEmergingBed.js only EMITS validation "
-    "rasters and never asserts.  Fixing this requires a subcell "
-    "partially-wet front reconstruction (Bollermann et al. 2013).")
+@pytest.mark.xfail(strict=True, reason=_EMERGING_BED_FRONT_LAG_REASON)
 def test_dam_break_emerging_bed_front_location(tmp_path):
     """The wet/dry front climbing the emerging bed must track the
     analytic front x_f(t) = 2t*sqrt(g*h0*cos a) - g*t^2*tan(a)/2

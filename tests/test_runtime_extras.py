@@ -76,6 +76,87 @@ def test_embedding_api(tmp_path):
     handle.close()
 
 
+def test_output_time_labels_no_collision(tmp_path):
+    """Sub-second output frequencies must produce distinct %t filenames
+    (int() truncation used to collide 0.5 s and 1.0 s onto '0'/'1')."""
+    from hipims_tpu.runtime.output import RasterOutputWriter
+    from hipims_tpu.utils import time_label
+
+    assert time_label(10.0) == "10"
+    assert time_label(1.5) == "1.5"
+    assert time_label(0.5) != time_label(1.0)
+
+    sim = Simulation(circular_dam_domain(n=16), _cfg(1.0))
+    writer = RasterOutputWriter(
+        [{"value": "depth", "format": "asc", "target": "d_%t.asc"}],
+        str(tmp_path), sim.domain)
+    for t in (0.5, 1.0, 1.5):
+        writer(sim, t)
+    made = {p.name for p in tmp_path.glob("d_*.asc")}
+    assert made == {"d_0.5.asc", "d_1.asc", "d_1.5.asc"}
+
+
+def test_progress_rate_spans_all_batches():
+    """The printed Mcells/s must divide the steps since the last print by
+    the elapsed time of *all* batches in the window, not just the batch
+    that triggered the print."""
+    from hipims_tpu.runtime.progress import ProgressReporter
+
+    class FakeLog:
+        def __init__(self):
+            self.lines = []
+
+        def line(self, msg):
+            self.lines.append(msg)
+
+        def block(self, msg):
+            pass
+
+    class FakeDomain:
+        cell_count = 2_000_000
+
+    class FakeSim:
+        domain = FakeDomain()
+        config = _cfg(100.0)
+        total_steps = 0
+        total_skipped = 0
+        _batch_size = 8
+        t = 0.0
+
+    log, sim = FakeLog(), FakeSim()
+    rep = ProgressReporter(log, sim, interval=1e9)
+    # Two 1-second batches of 50 steps land before the print fires.
+    sim.total_steps = 50
+    rep(sim, 10.0, 1.0)
+    assert not log.lines
+    sim.total_steps = 100
+    rep.interval = 0.0          # force the next call to print
+    rep(sim, 20.0, 1.0)
+    assert len(log.lines) == 1
+    # 100 steps * 2 Mcells over 2.0 s = 100.0 Mcells/s (200.0 if only the
+    # triggering batch's elapsed were used).
+    assert " 100.0 Mcells/s" in log.lines[0]
+
+
+def test_friction_never_reverses_flow():
+    """One-ulp guard: friction output never carries the opposite sign of
+    the input discharge, for awkward (non-power-of-two) dt values."""
+    import jax.numpy as jnp
+
+    from hipims_tpu.ops.friction import implicit_friction
+
+    rng = np.random.default_rng(7)
+    n = 512
+    zb = jnp.zeros(n)
+    z = jnp.asarray(rng.uniform(1e-6, 2.0, n))
+    qx = jnp.asarray(rng.uniform(-5.0, 5.0, n))
+    qy = jnp.asarray(rng.uniform(-5.0, 5.0, n))
+    for dt in (0.1, 0.3, 0.7, 1e-3, 2.3e-2):
+        qxn, qyn = implicit_friction(z, qx, qy, zb, 0.05, dt, 1e-10)
+        assert not np.any(np.asarray(qxn) * np.asarray(qx) < 0.0)
+        assert not np.any(np.asarray(qyn) * np.asarray(qy) < 0.0)
+
+
 def test_gridded_boundary_from_config(tmp_path):
     """Radar-rainfall rasters via a strftime mask + realStart."""
     from hipims_tpu.io.raster import Raster, write_raster
