@@ -5,8 +5,13 @@ MUSCL-Hancock, dynamic CFL timestep, friction on) and reports cell-updates
 per second against the reference's best single-GPU 32-bit rate of
 556 M cells/s (NVIDIA Tesla M2075, BASELINE.md).
 
-Prints exactly one JSON line:
+Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+With --full (or BENCH_FULL=1) it additionally sweeps all three schemes,
+both precisions and both MUSCL Pallas variants, appends every result to
+stderr and writes the table to BENCH_DETAIL.json (the numbers behind
+docs/ROOFLINE.md).
 """
 
 import json
@@ -14,39 +19,39 @@ import os
 import sys
 import time
 
-BASELINE_CELLS_PER_S = 556e6  # reference 32-bit MUSCL-Hancock, Tesla M2075
+# Reference rates from BASELINE.md (Malpasset, config A — the fastest —
+# on the best GPU, NVIDIA Tesla M2075).
+BASELINE_F32 = 556e6   # 32-bit MUSCL-Hancock
+BASELINE_F64 = 159e6   # 64-bit MUSCL-Hancock
 
 
-def main():
+def build_domain(rows, cols):
+    """Fully wet radial dam break over a gently undulating bed: no
+    dry-cell shortcuts, friction active everywhere — worst-case honest
+    rate."""
     import numpy as np
-    import jax
-    import jax.numpy as jnp
 
     from hipims_tpu.domain import Domain
-    from hipims_tpu.runtime import Simulation, SimulationConfig
 
-    rows = int(os.environ.get("BENCH_ROWS", 1408))
-    cols = int(os.environ.get("BENCH_COLS", 1408))
-    steps = int(os.environ.get("BENCH_STEPS", 200))
-    scheme = os.environ.get("BENCH_SCHEME", "muscl-hancock")
-    # The split Pallas MUSCL kernels compile in ~30 s here and run ~1.4x
-    # the XLA path, so "auto" resolves to Pallas on a TPU chip.
-    backend = os.environ.get("BENCH_BACKEND", "auto")
-
-    # Fully wet radial dam break over a gently undulating bed: no dry-cell
-    # shortcuts, friction active everywhere — worst-case honest rate.
     yy, xx = np.mgrid[0:rows, 0:cols]
     zb = 0.2 * np.sin(xx / 50.0) * np.cos(yy / 50.0)
     dom = Domain(zb=zb, manning=0.03, dx=10.0, dy=10.0)
     r = np.hypot((yy - rows / 2) * 10.0, (xx - cols / 2) * 10.0)
     dom.set_initial_depth(np.where(r <= rows * 10.0 / 6.0, 8.0, 2.0))
+    return dom
+
+
+def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
+    """Return (rate_cells_per_s, elapsed, sim) for one configuration."""
+    import jax.numpy as jnp
+
+    from hipims_tpu.runtime import Simulation, SimulationConfig
 
     cfg = SimulationConfig(scheme=scheme, duration=1e9,
-                           output_frequency=1e9, dtype="float32",
+                           output_frequency=1e9, dtype=dtype,
                            batch_size=steps, batch_auto=False,
-                           kernel_backend=backend)
-    sim = Simulation(dom, cfg)
-
+                           kernel_backend=backend, muscl_variant=variant)
+    sim = Simulation(build_domain(rows, cols), cfg)
     sync = jnp.asarray(1e9, dtype=sim.dtype)
 
     # Warm-up (compile + first batch).  The scalar read-back is the sync
@@ -56,7 +61,6 @@ def main():
                                   n_steps=steps)
     _ = float(carry.t)
 
-    reps = int(os.environ.get("BENCH_REPS", 3))
     times = []
     for _i in range(reps):
         t0 = time.perf_counter()
@@ -65,19 +69,81 @@ def main():
         _ = float(carry.t)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+    return rows * cols * steps / elapsed, elapsed, sim, carry
 
-    cells = rows * cols
-    rate = cells * steps / elapsed
+
+def main():
+    import jax
+
+    rows = int(os.environ.get("BENCH_ROWS", 1408))
+    cols = int(os.environ.get("BENCH_COLS", 1408))
+    steps = int(os.environ.get("BENCH_STEPS", 200))
+    scheme = os.environ.get("BENCH_SCHEME", "muscl-hancock")
+    # The split Pallas MUSCL kernels compile in ~30 s on the TPU relay and
+    # run ~1.4x the XLA path, so "auto" resolves to Pallas on a TPU chip.
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    variant = os.environ.get("BENCH_VARIANT") or None
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    full = "--full" in sys.argv or os.environ.get("BENCH_FULL") == "1"
+    device = jax.devices()[0].platform
+
+    rate, elapsed, sim, carry = run_case(scheme, dtype, backend, variant,
+                                         rows, cols, steps, reps)
+    suffix = "f64" if dtype == "float64" else "f32"
+    baseline = BASELINE_F64 if dtype == "float64" else BASELINE_F32
     out = {
-        "metric": f"{scheme.replace('-', '_')}_cell_updates_per_s_f32",
+        "metric": f"{scheme.replace('-', '_')}_cell_updates_per_s_{suffix}",
         "value": round(rate, 1),
         "unit": "cells/s",
-        "vs_baseline": round(rate / BASELINE_CELLS_PER_S, 4),
+        "vs_baseline": round(rate / baseline, 4),
     }
     print(json.dumps(out))
     print(f"# grid={rows}x{cols} steps={steps} elapsed={elapsed:.3f}s "
           f"t_sim={float(carry.t):.3f}s dt={float(carry.dt):.4f}s "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+          f"device={device} backend={sim.backend}", file=sys.stderr)
+
+    if not full:
+        return
+
+    # ---- full sweep (written to BENCH_DETAIL.json, not stdout) ----------
+    detail = [dict(out, scheme=scheme, dtype=dtype, backend=sim.backend,
+                   variant=variant or "default")]
+    f64_steps = int(os.environ.get("BENCH_STEPS_F64", 20))
+    cases = [
+        # (scheme, dtype, backend, variant, steps, baseline)
+        ("muscl-hancock", "float32", "auto", "split12", steps, BASELINE_F32),
+        ("godunov", "float32", "auto", None, steps, None),
+        ("inertial", "float32", "auto", None, steps, None),
+        ("muscl-hancock", "float64", "xla", None, f64_steps, BASELINE_F64),
+        ("godunov", "float64", "xla", None, f64_steps, None),
+    ]
+    for sch, dt_, bk, var, st, base in cases:
+        try:
+            r, el, sm, cr = run_case(sch, dt_, bk, var, rows, cols, st,
+                                     max(1, reps - 1))
+        except Exception as e:  # noqa: BLE001 — record and continue
+            print(f"# FAILED {sch}/{dt_}/{var}: {e}", file=sys.stderr)
+            continue
+        sfx = "f64" if dt_ == "float64" else "f32"
+        entry = {
+            "metric": f"{sch.replace('-', '_')}_cell_updates_per_s_{sfx}",
+            "value": round(r, 1),
+            "unit": "cells/s",
+            "scheme": sch, "dtype": dt_, "backend": sm.backend,
+            "variant": var or "default", "steps": st,
+        }
+        if base:
+            entry["vs_baseline"] = round(r / base, 4)
+        detail.append(entry)
+        print(f"# {sch:14s} {dt_} {sm.backend:6s} variant={var or '-':9s} "
+              f"{r / 1e6:9.1f} Mcells/s  ({el:.3f}s/{st} steps)",
+              file=sys.stderr)
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump({"device": device, "grid": [rows, cols],
+                   "cases": detail}, f, indent=1)
+    print("# detail -> BENCH_DETAIL.json", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,23 @@ from .limiters import slope_vector
 from .riemann import local_datum, solve_interfaces_muscl
 
 
+# First-order fallback thresholds (reference: the predictor's dry/edge
+# guards, src/Schemes/CLSchemeMUSCLHancock.clc:320-335): a nearly dry cell
+# or any disabled/boundary neighbour drops to first order.  zmax <= -9998
+# covers both the -9999 disabled sentinel and the 9999.9 edge-wall cells'
+# untouched initial zmax.
+FIRST_ORDER_DRY_DEPTH = 1e-5
+SENTINEL_ZMAX = -9998.0
+
+
+def first_order_mask(hc, zmax_n, zmax_e, zmax_s, zmax_w):
+    """Cells that must fall back to first order in the predictor (and whose
+    slopes are therefore stored/recomputed as zero)."""
+    return ((hc < FIRST_ORDER_DRY_DEPTH)
+            | (zmax_n <= SENTINEL_ZMAX) | (zmax_e <= SENTINEL_ZMAX)
+            | (zmax_s <= SENTINEL_ZMAX) | (zmax_w <= SENTINEL_ZMAX))
+
+
 class FaceExtrap(NamedTuple):
     """Face-extrapolated estimate (z, h, qx, qy), one entry per cell."""
 
@@ -73,11 +90,8 @@ def muscl_predictor_interior(z, zmax, qx, qy, zb, dt,
     hc = zc - zbc
     qxc, qyc = qx[sl], qy[sl]
 
-    # First-order fallback: nearly dry cell or any disabled/boundary
-    # neighbour (zmax <= -9998 covers both sentinels).
-    first_order = ((hc < 1e-5)
-                   | (zmax[n_i] <= -9998.0) | (zmax[e_i] <= -9998.0)
-                   | (zmax[s_i] <= -9998.0) | (zmax[w_i] <= -9998.0))
+    first_order = first_order_mask(hc, zmax[n_i], zmax[e_i],
+                                   zmax[s_i], zmax[w_i])
 
     sx = slope_vector(z[w_i], zb[w_i], qx[w_i], qy[w_i],
                       zc, zbc, qxc, qyc,
@@ -155,9 +169,8 @@ def muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
     hc = zc - zbc
     qxc, qyc = qx[sl], qy[sl]
 
-    first_order = ((hc < 1e-5)
-                   | (zmax[n_i] <= -9998.0) | (zmax[e_i] <= -9998.0)
-                   | (zmax[s_i] <= -9998.0) | (zmax[w_i] <= -9998.0))
+    first_order = first_order_mask(hc, zmax[n_i], zmax[e_i],
+                                   zmax[s_i], zmax[w_i])
 
     sx = slope_vector(z[w_i], zb[w_i], qx[w_i], qy[w_i],
                       zc, zbc, qxc, qyc,

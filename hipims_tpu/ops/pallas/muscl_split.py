@@ -28,6 +28,7 @@ src/Schemes/CLSchemeMUSCLHancock.clc:568-573).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +38,27 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 from ...state import DomainStatic, FlowState
 from ..godunov import SchemeParams
-from ..muscl import (FaceExtrap, faces_from_base_slopes,
+from ..limiters import slope_vector
+from ..muscl import (FaceExtrap, faces_from_base_slopes, first_order_mask,
                      muscl_corrector_full, muscl_predictor_base_slopes)
 from .stencil import (HALO, VMEM_LIMIT, pick_tile_rows, pipeline_epilogue,
                       pipeline_prologue, supports)
 
 N_PRED = 12   # base(z,h,qx,qy) + sx(4) + sy(4)
 RING = 2      # MUSCL static ring width
+
+# Which split variant the simulation uses by default:
+#   "split12"   — predictor stores base + limited slopes (12 planes,
+#                 ~132 B/cell of HBM traffic);
+#   "recompute" — predictor stores only the 4 base planes and the
+#                 corrector recomputes the limited slopes from the state
+#                 tile already resident in VMEM (~92 B/cell at the cost of
+#                 ~2 extra slope_vector evaluations per cell).
+# Measured on a TPU v5 lite chip, 1408x1408 f32, 100-step scan
+# (bench.py --variant sweep, BENCH_r03): recompute wins at every tile size
+# (2.41 vs 1.94 G cells/s at tile_rows=88), consistent with the kernels
+# being HBM-bound.  Env-overridable for experiments.
+DEFAULT_VARIANT = os.environ.get("HIPIMS_MUSCL_VARIANT", "recompute")
 
 
 def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
@@ -150,15 +165,162 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
 
 
+# ---------------------------------------------------------------------------
+# "recompute" variant: 4-plane predictor + slope-recomputing corrector.
+# ---------------------------------------------------------------------------
+
+def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
+    """Half-step predictor storing ONLY the 4 base planes; the corrector
+    recomputes the limited slopes from the state tile it already holds."""
+    n_in = 5
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + 4]
+    scr = refs[n_in + 4]
+    out_scr = refs[n_in + 5]
+    sem_in = refs[n_in + 6]
+    sem_out = refs[n_in + 7]
+
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tr = tile_rows
+    slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
+                                    sem_out, t, n_tiles, tr, rows)
+
+    w0, w1 = HALO - 1, HALO + tr + 1
+    z, zmax, qx, qy, zb = (scr[slot, k, w0:w1, :] for k in range(n_in))
+    dt = dt_ref[0, 0]
+
+    base, _sx, _sy = muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
+                                                 params)
+    # Static edge columns: first-order placeholders (original state).
+    fo = FaceExtrap(z=z[1:-1, :], h=z[1:-1, :] - zb[1:-1, :],
+                    qx=qx[1:-1, :], qy=qy[1:-1, :])
+    for idx, (slab, comp_fo) in enumerate(zip(base, fo)):
+        out_scr[slot, idx] = jnp.concatenate(
+            [comp_fo[:, :1], slab, comp_fo[:, -1:]], axis=1)
+
+    pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
+
+
+def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
+                                cols, logical_rows, logical_cols):
+    """Corrector that re-derives the limited slopes from the original
+    state (DMA'd with the standard aligned halo) instead of loading the 8
+    slope planes from HBM — bitwise-identical faces, ~40 B/cell less HBM
+    traffic.  East/west neighbours come from lane rolls and north/south
+    from row-shifted scratch windows; edge columns and first-order cells
+    are zeroed exactly as ``muscl_predictor_base_slopes`` stored them
+    (Mosaic cannot concatenate arrays whose sublane offsets differ, hence
+    the roll + iota-mask construction)."""
+    n_in = 10  # z zmax qx qy zb n + base(4)
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + 4]
+    speed_ref = refs[n_in + 4]
+    scr = refs[n_in + 5]
+    out_scr = refs[n_in + 6]
+    sem_in = refs[n_in + 7]
+    sem_out = refs[n_in + 8]
+
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tr = tile_rows
+    slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
+                                    sem_out, t, n_tiles, tr, rows)
+
+    # Radius-2 row window for the slope recompute's N/S neighbours.
+    v0, v1 = HALO - 2, HALO + tr + 2
+    z2, zmax2, qx2, qy2, zb2 = (scr[slot, k, v0:v1, :] for k in range(5))
+    # Radius-1 window for everything else.
+    w0, w1 = HALO - 1, HALO + tr + 1
+    win = [scr[slot, k, w0:w1, :] for k in range(n_in)]
+    z, zmax, qx, qy, zb, n = win[:6]
+    base = FaceExtrap(*win[6:10])
+    dt = dt_ref[0, 0]
+
+    vs = params.very_small
+    roll = lambda a, s: pltpu.roll(a, s, 1)  # noqa: E731
+    zc, zbc = z, zb
+    hc = zc - zbc
+    qxc, qyc = qx, qy
+    nw = (slice(2, None), slice(None))   # north rows of radius-2 window
+    sw = (slice(None, -2), slice(None))  # south rows
+    z_n, zb_n, qx_n, qy_n, zmax_n = (a[nw] for a in (z2, zb2, qx2, qy2,
+                                                     zmax2))
+    z_s, zb_s, qx_s, qy_s, zmax_s = (a[sw] for a in (z2, zb2, qx2, qy2,
+                                                     zmax2))
+    # pltpu.roll only takes non-negative shifts: left-by-1 == right-by-
+    # (cols-1).
+    z_e, zb_e, qx_e, qy_e, zmax_e = (roll(a, cols - 1) for a in
+                                     (zc, zbc, qxc, qyc, zmax))
+    z_w, zb_w, qx_w, qy_w, zmax_w = (roll(a, 1) for a in
+                                     (zc, zbc, qxc, qyc, zmax))
+    first_order = first_order_mask(hc, zmax_n, zmax_e, zmax_s, zmax_w)
+    sx = slope_vector(z_w, zb_w, qx_w, qy_w,
+                      zc, zbc, qxc, qyc,
+                      z_e, zb_e, qx_e, qy_e, vs)
+    sy = slope_vector(z_s, zb_s, qx_s, qy_s,
+                      zc, zbc, qxc, qyc,
+                      z_n, zb_n, qx_n, qy_n, vs)
+    cids0 = jax.lax.broadcasted_iota(jnp.int32, hc.shape, 1)
+    # The rolls wrap at the row ends; those lanes are exactly the static
+    # edge columns whose stored slopes are zero.
+    kill = first_order | (cids0 == 0) | (cids0 == cols - 1)
+
+    def mask_slope(vec):
+        return tuple(jnp.where(kill, 0.0, s) for s in vec)
+
+    faces = faces_from_base_slopes(base, mask_slope(sx), mask_slope(sy))
+
+    zi, zmaxi, qxi, qyi = muscl_corrector_full(z, zmax, qx, qy, zb, n,
+                                               faces, dt, params)
+
+    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
+    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
+    ring = ((gids < RING) | (gids >= logical_rows - RING)
+            | (cids < RING) | (cids >= logical_cols - RING))
+    old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1], qx[1:-1, 1:-1], qy[1:-1, 1:-1])
+    zi, zmaxi, qxi, qyi = (jnp.where(ring, o, v) for o, v in
+                           zip(old, (zi, zmaxi, qxi, qyi)))
+
+    def full_width(old2d, interior):
+        return jnp.concatenate(
+            [old2d[1:-1, :1], interior, old2d[1:-1, -1:]], axis=1)
+
+    zf = full_width(z, zi)
+    zmaxf = full_width(zmax, zmaxi)
+    qxf = full_width(qx, qxi)
+    qyf = full_width(qy, qyi)
+    out_scr[slot, 0] = zf
+    out_scr[slot, 1] = zmaxf
+    out_scr[slot, 2] = qxf
+    out_scr[slot, 3] = qyf
+
+    h = zf - zb[1:-1, :]
+    wet = (h > params.quite_small) & (zmaxf > C.NODATA)
+    h_safe = jnp.where(wet, h, 1.0)
+    cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+    spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
+    spd = jnp.where(wet, spd, 0.0)
+    speed_ref[t, 0] = jnp.max(spd)
+
+    pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "params", "tile_rows", "interpret", "logical_rows", "logical_cols"))
+    "params", "tile_rows", "interpret", "logical_rows", "logical_cols",
+    "variant"))
 def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                             params: SchemeParams, tile_rows=None,
                             interpret: bool = False, logical_rows=None,
-                            logical_cols=None):
+                            logical_cols=None, variant=None):
     """Fused two-kernel MUSCL step + CFL reduce.  Returns
-    (new_state, max_wave_speed)."""
+    (new_state, max_wave_speed).  ``variant`` picks the predictor/corrector
+    pair ("split12" | "recompute"; None = DEFAULT_VARIANT)."""
     rows, cols = state.z.shape
+    if variant is None:
+        variant = DEFAULT_VARIANT
+    if variant not in ("split12", "recompute"):
+        raise ValueError(f"unknown MUSCL split variant '{variant}'")
     if tile_rows is None:
         tile_rows = pick_tile_rows(rows, cols, 60)
     if not supports(rows, cols, tile_rows):
@@ -169,12 +331,17 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     dtype = state.z.dtype
     lr = logical_rows or rows
     lc = logical_cols or cols
+    n_pred = N_PRED if variant == "split12" else 4
+    pred_fn = (_predictor_kernel if variant == "split12"
+               else _predictor_base_kernel)
+    corr_fn = (_corrector_kernel if variant == "split12"
+               else _corrector_recompute_kernel)
 
     dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
     plane = jax.ShapeDtypeStruct((rows, cols), dtype)
 
     # ---- kernel P -------------------------------------------------------
-    pk = functools.partial(_predictor_kernel, params=params,
+    pk = functools.partial(pred_fn, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols)
     pred = pl.pallas_call(
         pk,
@@ -183,24 +350,24 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_PRED,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_pred,
             scratch_shapes=[
                 pltpu.VMEM((2, 5, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((2, N_PRED, tile_rows, cols), dtype),
+                pltpu.VMEM((2, n_pred, tile_rows, cols), dtype),
                 pltpu.SemaphoreType.DMA((2, 5)),
-                pltpu.SemaphoreType.DMA((2, N_PRED)),
+                pltpu.SemaphoreType.DMA((2, n_pred)),
             ]),
-        out_shape=[plane] * N_PRED,
+        out_shape=[plane] * n_pred,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
 
     # ---- kernel C -------------------------------------------------------
-    ck = functools.partial(_corrector_kernel, params=params,
+    ck = functools.partial(corr_fn, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols,
                            logical_rows=lr, logical_cols=lc)
-    n_in = 6 + N_PRED
+    n_in = 6 + n_pred
     zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
         ck,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -56,6 +56,9 @@ class SimulationConfig:
     batch_target_seconds: float = 0.5
     sync_tolerance: float = 1e-5        # output-time match tolerance
     kernel_backend: str = "auto"        # "auto" | "xla" | "pallas"
+    muscl_variant: Optional[str] = None  # Pallas split variant:
+                                        # "split12" | "recompute" | None
+                                        # (None = measured default)
     sync_method: str = "timestep"       # mesh mode: "timestep" (per-step
                                         # GSPMD halos) | "forecast"
                                         # (halo-deep windows)
@@ -156,6 +159,7 @@ class Simulation:
         use_pallas = self.backend == "pallas"
         logical = (self.domain.logical_rows, self.domain.logical_cols)
         scheme_name = self.scheme.name
+        muscl_variant = self.config.muscl_variant
         if use_pallas:
             from ..ops.pallas.stencil import stencil_step_pallas
             from ..ops.pallas.muscl_split import muscl_step_pallas_split
@@ -175,7 +179,7 @@ class Simulation:
                         # Mosaic compiler; use the two-kernel split.
                         state, speed = muscl_step_pallas_split.__wrapped__(
                             state, static, carry.dt, params, None, False,
-                            logical[0], logical[1])
+                            logical[0], logical[1], muscl_variant)
                     else:
                         state, speed = stencil_step_pallas.__wrapped__(
                             scheme_name, state, static, carry.dt, params,

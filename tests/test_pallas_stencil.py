@@ -82,8 +82,10 @@ def test_pallas_other_schemes_match_xla(scheme):
     assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
 
 
-def test_muscl_split_matches_whole():
-    """Two-kernel split MUSCL == whole-grid MUSCL (interpret mode)."""
+@pytest.mark.parametrize("variant", ["split12", "recompute"])
+def test_muscl_split_matches_whole(variant):
+    """Two-kernel split MUSCL == whole-grid MUSCL (interpret mode), for
+    both the 12-plane and the slope-recompute variants."""
     from hipims_tpu.models import get_scheme
     from hipims_tpu.ops.pallas.muscl_split import muscl_step_pallas_split
 
@@ -95,10 +97,35 @@ def test_muscl_split_matches_whole():
 
     want = get_scheme("muscl-hancock").step(state, static, dt, params)
     got, speed = muscl_step_pallas_split(state, static, dt, params,
-                                         tile_rows=8, interpret=True)
+                                         tile_rows=8, interpret=True,
+                                         variant=variant)
     for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-12, atol=1e-12, err_msg=name)
     want_speed = max_wave_speed(want.z, want.zmax, want.qx, want.qy,
                                 static.zb, params.quite_small)
     assert float(speed) == pytest.approx(float(want_speed), rel=1e-12)
+
+
+def test_muscl_variants_equivalent():
+    """The recompute corrector re-derives the same limited slopes the
+    split12 predictor stored; the variants agree to an ulp (the recompute
+    expression tree fuses differently in the compiler, exactly like
+    different tilings in test_pallas_multi_tile_consistency)."""
+    from hipims_tpu.ops.pallas.muscl_split import muscl_step_pallas_split
+
+    z, zmax, qx, qy, zb, n = random_domain(9, rows=32, cols=128)
+    state = FlowState(*[np.asarray(a) for a in (z, zmax, qx, qy)])
+    static = DomainStatic(zb=zb, manning=n)
+    params = SchemeParams(dx=2.0, dy=2.0)
+
+    a, sa = muscl_step_pallas_split(state, static, 0.05, params,
+                                    tile_rows=8, interpret=True,
+                                    variant="split12")
+    b, sb = muscl_step_pallas_split(state, static, 0.05, params,
+                                    tile_rows=8, interpret=True,
+                                    variant="recompute")
+    for x, y, name in zip(a, b, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-13, atol=1e-15, err_msg=name)
+    assert float(sa) == pytest.approx(float(sb), rel=1e-13)
