@@ -15,12 +15,37 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
+import logging
 import os
 import xml.etree.ElementTree as ET
 from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
+
+log = logging.getLogger("hipims_tpu.config")
+
+# <simulation> parameters the loader consumes.
+_KNOWN_SIM_PARAMS = {"duration", "outputfrequency", "floatingpointprecision",
+                     "realstart"}
+# <scheme> parameters the loader consumes.
+_KNOWN_SCHEME_PARAMS = {"courantnumber", "drythreshold", "timestepmode",
+                        "timestepinitial", "timestepfixed",
+                        "frictioneffects", "queuesize", "queuemode"}
+# Reference scheme parameters that are OpenCL tuning knobs with no TPU
+# meaning (reference: src/Schemes/CSchemeGodunov.cpp:113-338) — accepted
+# silently at info level rather than warned about.
+_OBSOLETE_SCHEME_PARAMS = {"riemannsolver", "groupsize", "cachedgroupsize",
+                           "noncachedgroupsize", "localcachelevel",
+                           "localcacheconstraints",
+                           "timestepreductionwavefronts",
+                           "contiguousextrapolationdata",
+                           "timestepreductiondivisions"}
+# dataSource value codes the loader consumes (reference:
+# src/Domain/CDomain.cpp:464-500 getDataValueCode).
+_KNOWN_SOURCE_VALUES = {"structure", "dem", "depth", "fsl", "velocityx",
+                        "velocityy", "dischargex", "dischargey",
+                        "manningcoefficient", "disabled"}
 
 from ..domain import Domain
 from ..ops import boundaries as B
@@ -104,109 +129,49 @@ def load_config(path) -> LoadedModel:
         fmt = rs_el.get("format", "%Y-%m-%d %H:%M:%S")
         real_start = datetime.datetime.strptime(rs_el.get("value"), fmt)
 
+    for p in sim_params:
+        if p not in _KNOWN_SIM_PARAMS:
+            log.warning("%s: ignoring unknown <simulation> parameter '%s'",
+                        path.name, p)
+
     domain_set = sim_el.find("domainSet")
     dom_els = domain_set.findall("domain") if domain_set is not None else []
     if not dom_els:
         raise ValueError(f"{path}: missing <domain>")
-    dom_el = dom_els[0]
     # The reference's multi-domain decomposition splits one logical grid
     # into overlapping per-device rasters (tools/model-builder --decompose;
     # src/Domain/CDomainManager.cpp:170-241).  On TPU the devices share one
     # sharded grid, so multiple <domain> entries are stitched back into
-    # their union extent; <domainSet syncMethod> selects the mesh sync
+    # their union extent — EVERY domain's data sources, boundaries and
+    # output targets are merged, mirroring how the reference configures
+    # each domain fully; <domainSet syncMethod> selects the mesh sync
     # discipline (kSyncTimestep / kSyncForecast, src/Schemes/CScheme.h:57).
     sync_method = (domain_set.get("syncMethod", "forecast")
                    if domain_set is not None else "timestep").strip().lower()
     cfg.sync_method = ("forecast" if sync_method.startswith("forecast")
                        else "timestep")
+    sync_spare = int(float(domain_set.get("syncSpareSize", 0))) \
+        if domain_set is not None else 0
 
-    data_el = dom_el.find("data")
-    source_dir = base / (data_el.get("sourceDir", "") if data_el is not None
-                         else "")
-    target_dir = base / (data_el.get("targetDir", "output")
-                         if data_el is not None else "output")
+    blocks = [_parse_domain_block(el, base, path) for el in dom_els]
+    b0 = blocks[0]
+    target_dir = b0.target_dir
+    if any(b.structure is None for b in blocks):
+        raise ValueError(f"{path}: every <domain> needs a structure/dem "
+                         "raster source")
 
-    # ---- data sources ------------------------------------------------
-    structure = None
-    constants = {}
-    rasters = {}
-    targets = []
-    if data_el is not None:
-        for src in data_el.findall("dataSource"):
-            values = [v.strip().lower()
-                      for v in src.get("value", "").split(",")]
-            kind = src.get("type", "raster").strip().lower()
-            sval = src.get("source", "")
-            for v in values:
-                if kind == "constant":
-                    constants[v] = float(sval)
-                else:
-                    rast = read_raster(source_dir / sval)
-                    rasters[v] = rast
-                    if v in ("structure", "dem"):
-                        structure = rast
-        for tgt in data_el.findall("dataTarget"):
-            kind = tgt.get("type", "raster").strip().lower()
-            entry = dict(
-                kind=kind,
-                value=tgt.get("value", "depth").strip().lower(),
-                format=tgt.get("format", "GTiff").strip().lower(),
-                target=tgt.get("target", "out_%t.tif"))
-            if kind == "timeseries":
-                # Point-gauge sampling (framework extension): source is a
-                # gauge map CSV of (x, y[, name]) world coordinates.
-                entry["source"] = str(base / tgt.get("source", ""))
-            targets.append(entry)
+    # Output targets: union across domains, deduplicated (decomposed
+    # configs repeat the same target list per domain).
+    targets, seen_t = [], set()
+    for blk in blocks:
+        for t in blk.targets:
+            key = (t.get("kind"), t["value"], t["target"])
+            if key not in seen_t:
+                seen_t.add(key)
+                targets.append(t)
 
-    if structure is None:
-        raise ValueError(f"{path}: no structure/dem raster source")
-
-    if len(dom_els) > 1:
-        structure = _stitch_domains(dom_els, base, structure)
-
-    zb = structure.to_domain_array().astype(np.float64)
-    nodata = structure.nodata if structure.nodata is not None else -9999.0
-    active = ~np.isclose(zb, nodata)
-    manning = constants.get("manningcoefficient", 0.0)
-    if "manningcoefficient" in rasters:
-        manning = rasters["manningcoefficient"].to_domain_array()
-
-    domain = Domain(zb=zb, manning=manning,
-                    dx=structure.cell_size, dy=structure.cell_size,
-                    xll=structure.xll, yll=structure.yll, active=active)
-
-    if "depth" in rasters:
-        domain.set_initial_depth(rasters["depth"].to_domain_array())
-    elif "depth" in constants:
-        domain.set_initial_depth(constants["depth"])
-    if "fsl" in rasters:
-        domain.set_initial_fsl(rasters["fsl"].to_domain_array())
-    elif "fsl" in constants:
-        domain.set_initial_fsl(constants["fsl"])
-
-    # Initial velocity -> discharge conversion (reference:
-    # src/Domain/CDomain.cpp handleInputData velocity cases).
-    depth0 = None
-    if domain._depth is not None:
-        depth0 = np.asarray(domain._depth)
-    elif domain._fsl is not None:
-        depth0 = np.maximum(np.asarray(domain._fsl) - zb, 0.0)
-    for comp, setter in (("x", "qx"), ("y", "qy")):
-        vel = constants.get(f"velocity{comp}")
-        if f"velocity{comp}" in rasters:
-            vel = rasters[f"velocity{comp}"].to_domain_array()
-        if vel is not None and depth0 is not None:
-            q = np.asarray(vel) * depth0
-            domain.set_initial_discharge(**{setter: q})
-        dis = constants.get(f"discharge{comp}")
-        if f"discharge{comp}" in rasters:
-            dis = rasters[f"discharge{comp}"].to_domain_array()
-        if dis is not None:
-            domain.set_initial_discharge(
-                **{setter: np.broadcast_to(np.asarray(dis), zb.shape)})
-
-    # ---- scheme ------------------------------------------------------
-    scheme_el = dom_el.find("scheme")
+    # ---- scheme (domain 0 governs; conflicting others are warned) ------
+    scheme_el = b0.scheme_el
     if scheme_el is not None:
         cfg.scheme = scheme_el.get("name", "godunov").strip().lower()
         if cfg.scheme == "muscl-hancock" or cfg.scheme == "musclhancock":
@@ -229,25 +194,203 @@ def load_config(path) -> LoadedModel:
             cfg.batch_auto = False
         if sp.get("queuemode", "").lower() == "fixed":
             cfg.batch_auto = False
+        for pname in sp:
+            if pname in _KNOWN_SCHEME_PARAMS:
+                continue
+            if pname in _OBSOLETE_SCHEME_PARAMS:
+                log.info("%s: scheme parameter '%s' is an OpenCL tuning "
+                         "knob with no TPU equivalent; ignored",
+                         path.name, pname)
+            else:
+                log.warning("%s: ignoring unknown <scheme> parameter '%s'",
+                            path.name, pname)
+    for blk in blocks[1:]:
+        if blk.scheme_el is not None and scheme_el is not None:
+            other = blk.scheme_el.get("name", "").strip().lower()
+            if other and other != scheme_el.get("name", "").strip().lower():
+                log.warning("%s: per-domain scheme '%s' differs from "
+                            "domain 0's '%s'; domain 0 governs the "
+                            "stitched grid", path.name, other,
+                            scheme_el.get("name"))
 
-    # ---- boundaries --------------------------------------------------
+    # ---- stitched grid + merged data sources ---------------------------
+    union = _UnionGrid([b.structure for b in blocks])
+    zb = union.empty(union.nodata)
+    for blk in blocks:
+        union.paste(zb, blk.structure, path)
+    active = ~np.isclose(zb, union.nodata)
+
+    constants = _merge_constants(blocks, path)
+
+    def gather(v, fill):
+        """Constant / stitched raster / None for one data-source value."""
+        rs = [(blk, blk.rasters[v]) for blk in blocks if v in blk.rasters]
+        const = constants.get(v)
+        if not rs:
+            return const
+        out = union.empty(const if const is not None else fill)
+        for blk, r in rs:
+            union.paste(out, r, path, mask_nodata=True)
+        return out
+
+    manning = gather("manningcoefficient", 0.0)
+    domain = Domain(zb=zb, manning=manning if manning is not None else 0.0,
+                    dx=union.cell, dy=union.cell,
+                    xll=union.xll, yll=union.yll, active=active)
+
+    # Disabled-cell overlay (reference: CDomain::handleInputData
+    # kDataDisabled, src/Domain/CDomain.cpp:294-397): nonzero = disabled.
+    disabled = gather("disabled", 0.0)
+    if disabled is not None:
+        domain.active &= ~(np.broadcast_to(np.asarray(disabled),
+                                           zb.shape) != 0.0)
+
+    depth0_arr = gather("depth", 0.0)
+    if depth0_arr is not None:
+        domain.set_initial_depth(depth0_arr)
+    fsl_arr = gather("fsl", np.nan)
+    if fsl_arr is not None:
+        # Cells no domain's raster covered fall back to a dry bed.
+        domain.set_initial_fsl(fsl_arr if np.isscalar(fsl_arr)
+                               else np.where(np.isnan(fsl_arr), zb, fsl_arr))
+
+    # Initial velocity -> discharge conversion (reference:
+    # src/Domain/CDomain.cpp handleInputData velocity cases).
+    depth0 = None
+    if domain._depth is not None:
+        depth0 = np.asarray(domain._depth)
+    elif domain._fsl is not None:
+        depth0 = np.maximum(np.asarray(domain._fsl) - zb, 0.0)
+    for comp, setter in (("x", "qx"), ("y", "qy")):
+        vel = gather(f"velocity{comp}", 0.0)
+        if vel is not None and depth0 is not None:
+            q = np.broadcast_to(np.asarray(vel), zb.shape) * depth0
+            domain.set_initial_discharge(**{setter: q})
+        dis = gather(f"discharge{comp}", 0.0)
+        if dis is not None:
+            domain.set_initial_discharge(
+                **{setter: np.broadcast_to(np.asarray(dis), zb.shape)})
+
+    # ---- forecast halo budget from the decompose overlap ----------------
+    # The reference derives each domain's rollback limit from its links:
+    # sync-zone rows = floor(overlap/2) - 1 (CDomainLink.cpp:286-382),
+    # rollback limit = min(overlap) - 1 iterations (CDomainBase.cpp:163-174)
+    # minus the <domainSet syncSpareSize> safety margin
+    # (CDomainManager.cpp:36-40).  Here each forecast window must fit the
+    # same halo-validity budget: radius rows are consumed per step.
+    if len(blocks) > 1 and cfg.sync_method == "forecast":
+        min_overlap = union.min_overlap([b.structure for b in blocks])
+        if min_overlap is not None:
+            radius = 2 if cfg.scheme == "muscl-hancock" else 1
+            budget = max(1, (min_overlap // 2 - 1) // radius)
+            cfg.forecast_window = max(1, budget - sync_spare)
+            log.info("%s: decompose overlap %d rows -> forecast window "
+                     "%d steps (spare %d)", path.name, min_overlap,
+                     cfg.forecast_window, sync_spare)
+
+    # ---- boundaries (merged across domains, deduplicated) ---------------
     bounds: List = []
-    bc_el = dom_el.find("boundaryConditions")
-    if bc_el is not None:
+    seen_bc = set()
+    explicit_edges = {}
+    for blk in blocks:
+        bc_el = blk.bc_el
+        if bc_el is None:
+            continue
         bc_dir = base / bc_el.get("sourceDir", "")
         shared_map = bc_el.get("mapFile")
         for edge_el in bc_el.findall("domainEdge"):
             edge = edge_el.get("edge", "").strip().lower()
             treatment = edge_el.get("treatment", "closed").strip().lower()
-            if edge in domain.edge_treatment:
-                domain.edge_treatment[edge] = treatment
+            if edge not in domain.edge_treatment:
+                continue
+            if edge in explicit_edges and explicit_edges[edge] != treatment:
+                log.warning("%s: conflicting <domainEdge> treatments for "
+                            "'%s' across domains; keeping '%s'",
+                            path.name, edge, explicit_edges[edge])
+                continue
+            explicit_edges[edge] = treatment
+            domain.edge_treatment[edge] = treatment
         for ts in bc_el.findall("timeseries"):
+            # Decomposed configs repeat identical boundary blocks on every
+            # sub-domain; on the stitched grid each must apply ONCE.
+            sig = (str(bc_dir), shared_map,
+                   tuple(sorted(ts.attrib.items())))
+            if sig in seen_bc:
+                continue
+            seen_bc.add(sig)
             bounds.append(_parse_timeseries(ts, bc_dir, shared_map, domain,
                                             cfg.duration, real_start))
 
     return LoadedModel(name=name, description=desc, domain=domain,
                        config=cfg, boundaries=[b for b in bounds if b],
                        output_targets=targets, target_dir=str(target_dir))
+
+
+def _parse_domain_block(el, base: Path, path):
+    """One <domain> element's data/scheme/boundary sections (reference:
+    CDomainManager.cpp:170-241 configures each domain fully)."""
+    from types import SimpleNamespace
+
+    data_el = el.find("data")
+    source_dir = base / (data_el.get("sourceDir", "") if data_el is not None
+                         else "")
+    target_dir = base / (data_el.get("targetDir", "output")
+                         if data_el is not None else "output")
+    structure = None
+    constants = {}
+    rasters = {}
+    targets = []
+    if data_el is not None:
+        for src in data_el.findall("dataSource"):
+            values = [v.strip().lower()
+                      for v in src.get("value", "").split(",")]
+            kind = src.get("type", "raster").strip().lower()
+            sval = src.get("source", "")
+            for v in values:
+                if v not in _KNOWN_SOURCE_VALUES:
+                    log.warning("%s: ignoring dataSource value '%s' "
+                                "(unsupported)", Path(path).name, v)
+                    continue
+                if kind == "constant":
+                    constants[v] = float(sval)
+                else:
+                    rast = read_raster(source_dir / sval)
+                    rasters[v] = rast
+                    if v in ("structure", "dem"):
+                        structure = rast
+        for tgt in data_el.findall("dataTarget"):
+            kind = tgt.get("type", "raster").strip().lower()
+            entry = dict(
+                kind=kind,
+                value=tgt.get("value", "depth").strip().lower(),
+                format=tgt.get("format", "GTiff").strip().lower(),
+                target=tgt.get("target", "out_%t.tif"))
+            if kind == "timeseries":
+                # Point-gauge sampling (framework extension): source is a
+                # gauge map CSV of (x, y[, name]) world coordinates.
+                entry["source"] = str(base / tgt.get("source", ""))
+            targets.append(entry)
+
+    return SimpleNamespace(source_dir=source_dir, target_dir=target_dir,
+                           structure=structure, constants=constants,
+                           rasters=rasters, targets=targets,
+                           scheme_el=el.find("scheme"),
+                           bc_el=el.find("boundaryConditions"))
+
+
+def _merge_constants(blocks, path) -> dict:
+    """Union of every domain's constant sources; conflicts keep domain 0's
+    value with a warning."""
+    out = {}
+    for blk in blocks:
+        for v, val in blk.constants.items():
+            if v in out and out[v] != val:
+                log.warning("%s: conflicting constant '%s' across domains "
+                            "(%g vs %g); keeping the first",
+                            Path(path).name, v, out[v], val)
+                continue
+            out.setdefault(v, val)
+    return out
 
 
 def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
@@ -304,41 +447,76 @@ def _parse_timeseries(ts, bc_dir: Path, shared_map: Optional[str],
     raise ValueError(f"unknown timeseries type '{kind}'")
 
 
-def _stitch_domains(dom_els, base: Path, first):
-    """Composite multiple (overlapping) domain structure rasters into their
-    union grid.  Later domains overwrite the overlap rows, mirroring how
-    the reference's decomposed configs tile one logical model."""
-    from .raster import Raster
+class _UnionGrid:
+    """Union extent of the (overlapping) domain structure rasters; later
+    domains overwrite the overlap rows, mirroring how the reference's
+    decomposed configs tile one logical model
+    (src/Domain/CDomainManager.cpp:170-241, CDomainLink.cpp:286-382)."""
 
-    rasters = []
-    for el in dom_els:
-        data_el = el.find("data")
-        sdir = base / data_el.get("sourceDir", "")
-        for src in data_el.findall("dataSource"):
-            values = [v.strip().lower()
-                      for v in src.get("value", "").split(",")]
-            if src.get("type", "raster").strip().lower() != "constant"                     and ("structure" in values or "dem" in values):
-                rasters.append(read_raster(sdir / src.get("source")))
-    cell = rasters[0].cell_size
-    for r in rasters:
-        if abs(r.cell_size - cell) > 1e-9:
-            raise ValueError("multi-domain stitch requires equal resolution")
-    xll = min(r.xll for r in rasters)
-    yll = min(r.yll for r in rasters)
-    x_hi = max(r.xll + r.cols * cell for r in rasters)
-    y_hi = max(r.yll + r.rows * cell for r in rasters)
-    cols = int(round((x_hi - xll) / cell))
-    rows = int(round((y_hi - yll) / cell))
-    union = np.full((rows, cols), rasters[0].nodata
-                    if rasters[0].nodata is not None else -9999.0)
-    for r in rasters:
-        c0 = int(round((r.xll - xll) / cell))
-        r0 = int(round((r.yll - yll) / cell))
-        dom = r.to_domain_array()
-        union[r0:r0 + r.rows, c0:c0 + r.cols] = dom
-    return Raster.from_domain_array(union, xll=xll, yll=yll,
-                                    cell_size=cell,
-                                    nodata=rasters[0].nodata)
+    def __init__(self, rasters):
+        cell = rasters[0].cell_size
+        for r in rasters:
+            if abs(r.cell_size - cell) > 1e-9:
+                raise ValueError(
+                    "multi-domain stitch requires equal resolution")
+        self.cell = cell
+        self.xll = min(r.xll for r in rasters)
+        self.yll = min(r.yll for r in rasters)
+        x_hi = max(r.xll + r.cols * cell for r in rasters)
+        y_hi = max(r.yll + r.rows * cell for r in rasters)
+        self.cols = int(round((x_hi - self.xll) / cell))
+        self.rows = int(round((y_hi - self.yll) / cell))
+        nod = rasters[0].nodata
+        self.nodata = nod if nod is not None else -9999.0
+
+    def empty(self, fill):
+        return np.full((self.rows, self.cols), float(fill))
+
+    def paste(self, dst, raster, path, mask_nodata=False):
+        """Overlay one raster's domain-oriented array onto the union.
+
+        A raster whose shape matches the union exactly is applied
+        wholesale (legacy configs georeference IC rasters loosely — the
+        reference's applyDataToDomain never checks the transform either,
+        src/Datasets/CRasterDataset.cpp:~353-425); anything smaller is
+        placed by its world offset."""
+        arr = raster.to_domain_array()
+        if arr.shape == dst.shape:
+            sel = slice(None), slice(None)
+        else:
+            c0 = int(round((raster.xll - self.xll) / self.cell))
+            r0 = int(round((raster.yll - self.yll) / self.cell))
+            if (c0 < 0 or r0 < 0 or r0 + raster.rows > self.rows
+                    or c0 + raster.cols > self.cols):
+                raise ValueError(
+                    f"{Path(path).name}: raster extent falls outside the "
+                    "stitched domain union")
+            sel = (slice(r0, r0 + raster.rows), slice(c0, c0 + raster.cols))
+        if mask_nodata and raster.nodata is not None:
+            keep = ~np.isclose(arr, raster.nodata)
+            dst[sel] = np.where(keep, arr, dst[sel])
+        else:
+            dst[sel] = arr
+
+    def min_overlap(self, rasters):
+        """Smallest positive row/col overlap between any two domain
+        rasters (the decompose overlap), or None when nothing overlaps."""
+        best = None
+        for i, a in enumerate(rasters):
+            for b in rasters[i + 1:]:
+                ox = (min(a.xll + a.cols * self.cell,
+                          b.xll + b.cols * self.cell)
+                      - max(a.xll, b.xll)) / self.cell
+                oy = (min(a.yll + a.rows * self.cell,
+                          b.yll + b.rows * self.cell)
+                      - max(a.yll, b.yll)) / self.cell
+                if ox <= 0 or oy <= 0:
+                    continue
+                # For row-band splits the x-overlap is the full width; the
+                # binding halo budget is the smaller dimension.
+                o = int(round(min(ox, oy)))
+                best = o if best is None else min(best, o)
+        return best
 
 
 def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,

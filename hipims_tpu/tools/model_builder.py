@@ -97,23 +97,24 @@ def _emit(directory, name, description, zb, extras, duration,
     (directory / "boundaries").mkdir(exist_ok=True)
     (directory / "output").mkdir(exist_ok=True)
 
-    sources = [_source_line("constant", "manningCoefficient", manning)]
-    if depth is not None:
-        if np.isscalar(depth):
-            sources.append(_source_line("constant", "depth", depth))
-        else:
-            write_raster(directory / "topography" / "depth.asc",
-                         Raster.from_domain_array(depth,
-                                                  cell_size=resolution))
-            sources.append(_source_line("raster", "depth", "depth.asc"))
-    if fsl is not None:
-        if np.isscalar(fsl):
-            sources.append(_source_line("constant", "fsl", fsl))
-        else:
-            write_raster(directory / "topography" / "fsl.asc",
-                         Raster.from_domain_array(fsl,
-                                                  cell_size=resolution))
-            sources.append(_source_line("raster", "fsl", "fsl.asc"))
+    def band_sources(lo, hi, suffix, yll):
+        """Constant + per-band raster IC source lines for rows [lo, hi) —
+        each decomposed <domain> is configured FULLY, as the reference
+        does (src/Domain/CDomainManager.cpp:170-241)."""
+        out = [_source_line("constant", "manningCoefficient", manning)]
+        for nm, vals in (("depth", depth), ("fsl", fsl)):
+            if vals is None:
+                continue
+            if np.isscalar(vals):
+                out.append(_source_line("constant", nm, vals))
+            else:
+                fname = f"{nm}{suffix}.asc"
+                write_raster(directory / "topography" / fname,
+                             Raster.from_domain_array(
+                                 np.asarray(vals)[lo:hi],
+                                 cell_size=resolution, yll=yll))
+                out.append(_source_line("raster", nm, fname))
+        return out
 
     timeseries = []
     if rainfall is not None:
@@ -141,8 +142,7 @@ def _emit(directory, name, description, zb, extras, duration,
     nrows = zb.shape[0]
     for i in range(n_parts):
         if n_parts == 1:
-            band, dem_name = zb, "dem.asc"
-            yll = 0.0
+            lo, hi, dem_name, suffix = 0, nrows, "dem.asc", ""
         else:
             # Overlapping row bands, like the reference's decomposed
             # configs (tools/model-builder main.js:160-196): band i covers
@@ -153,22 +153,24 @@ def _emit(directory, name, description, zb, extras, duration,
             lo = max(0, lo - (decompose_overlap if i > 0 else 0))
             hi = min(nrows, hi + (decompose_overlap
                                   if i < n_parts - 1 else 0))
-            band = zb[lo:hi]
-            dem_name = f"dem_part{i}.asc"
-            yll = lo * resolution
+            suffix = f"_part{i}"
+            dem_name = f"dem{suffix}.asc"
+        yll = lo * resolution
         write_raster(directory / "topography" / dem_name,
-                     Raster.from_domain_array(band, cell_size=resolution,
+                     Raster.from_domain_array(zb[lo:hi],
+                                              cell_size=resolution,
                                               yll=yll))
-        dom_sources = [_source_line("raster", "structure,dem", dem_name)]
-        if i == 0:
-            # ICs, targets and boundaries live on the first domain; the
-            # loader applies them to the stitched union grid.
-            dom_sources += sources
+        # Every domain carries its own full configuration — band-sliced
+        # ICs, the boundary timeseries and the output targets — exactly
+        # like a reference decomposed config; the loader deduplicates the
+        # repeats when stitching.
+        dom_sources = ([_source_line("raster", "structure,dem", dem_name)]
+                       + band_sources(lo, hi, suffix, yll))
         blocks.append(DOMAIN_TEMPLATE.format(
             device=i + 1, scheme=scheme, courant=courant, friction=friction,
             sources="\n".join(dom_sources),
-            targets=TARGETS if i == 0 else "",
-            timeseries="\n".join(timeseries) if i == 0 else ""))
+            targets=TARGETS,
+            timeseries="\n".join(timeseries)))
 
     sync_attrs = ""
     if sync_method:

@@ -85,12 +85,69 @@ def test_decomposed_config_stitches_to_same_model(tmp_path):
     assert parts.domain.zb.shape == whole.domain.zb.shape
     np.testing.assert_allclose(parts.domain.zb, whole.domain.zb)
 
+    # Per-band IC rasters merge onto the union identically.
+    assert parts.domain._depth is not None
+    np.testing.assert_allclose(np.asarray(parts.domain._depth),
+                               np.asarray(whole.domain._depth))
+
     sim = parts.simulation()
     sim.run_to(10.0)
     exact = read_raster(tmp_path / "parts" / "validation" /
                         "depth_exact_10.asc").to_domain_array()
     l1 = np.abs(sim.depth()[3:5, 2:-2] - exact[3:5, 2:-2]).mean()
     assert l1 < 0.03, f"L1 vs validation raster {l1}"
+
+
+def test_decompose3_full_domain_configs_reproduce_whole(tmp_path):
+    """Every sub-domain of a --decompose 3 model carries its own ICs,
+    boundaries and targets (reference: CDomainManager.cpp:170-241
+    configures each domain fully); the loader merges all of them —
+    deduplicating the repeated rainfall boundary — and reproduces the
+    undecomposed run exactly."""
+    from hipims_tpu.tools.model_builder import build_pluvial
+
+    build_pluvial(tmp_path / "whole", size=64, duration=600.0)
+    build_pluvial(tmp_path / "parts", size=64, duration=600.0,
+                  decompose=3, decompose_overlap=6)
+    whole = load_config(tmp_path / "whole" / "pluvial.xml")
+    parts = load_config(tmp_path / "parts" / "pluvial.xml")
+
+    np.testing.assert_allclose(parts.domain.zb, whole.domain.zb)
+    # The rainfall boundary repeats on all 3 domains but applies once.
+    assert len(parts.boundaries) == len(whole.boundaries) == 1
+    # Targets deduplicate too.
+    assert len(parts.output_targets) == len(whole.output_targets)
+
+    a, b = whole.simulation(), parts.simulation()
+    a.run_to(60.0)
+    b.run_to(60.0)
+    np.testing.assert_allclose(b.depth(), a.depth(), rtol=0, atol=0)
+    assert b.volume() == pytest.approx(a.volume(), rel=1e-12)
+    assert b.volume() > 0   # rain actually fell
+
+
+def test_decompose_overlap_maps_to_forecast_window(tmp_path):
+    """<domainSet syncSpareSize> + the decompose overlap bound the
+    forecast window like the reference's rollback limit (sync-zone rows =
+    floor(overlap/2)-1, CDomainLink.cpp:286-382; limit minus spares,
+    CDomainBase.cpp:163-174, CDomainManager.cpp:36-40)."""
+    mb_main(["-t", "lake-at-rest", "-d", str(tmp_path / "m"),
+             "--decompose", "2", "--decompose-overlap", "12",
+             "--sync-method", "forecast"])
+    model = load_config(tmp_path / "m" / "lake-at-rest.xml")
+    assert model.config.sync_method == "forecast"
+    # Each band extends 12 rows past the seam, so the raster overlap is
+    # 24 rows; muscl-hancock radius 2: (24//2 - 1) // 2 = 5 steps.
+    assert model.config.forecast_window == 5
+
+    # syncSpareSize shrinks the window (overlap-1 semantics).
+    xml_path = tmp_path / "m" / "lake-at-rest.xml"
+    txt = xml_path.read_text().replace(
+        '<domainSet syncMethod="forecast">',
+        '<domainSet syncMethod="forecast" syncSpareSize="2">')
+    xml_path.write_text(txt)
+    model2 = load_config(xml_path)
+    assert model2.config.forecast_window == 3
 
 
 _EMERGING_BED_FRONT_LAG_REASON = (
