@@ -57,15 +57,15 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
     # Warm-up (compile + first batch).  The scalar read-back is the sync
     # point: block_until_ready alone does not block through the remote
     # relay used in this environment.
-    state, carry = sim._run_batch(sim.state, sim.carry, sim.static, sync,
-                                  n_steps=steps)
+    state, carry, comp = sim._run_batch(sim.state, sim.carry, sim.static,
+                                        sync, sim.comp, n_steps=steps)
     _ = float(carry.t)
 
     times = []
     for _i in range(reps):
         t0 = time.perf_counter()
-        state, carry = sim._run_batch(state, carry, sim.static, sync,
-                                      n_steps=steps)
+        state, carry, comp = sim._run_batch(state, carry, sim.static, sync,
+                                            comp, n_steps=steps)
         _ = float(carry.t)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
@@ -88,16 +88,43 @@ def main():
     full = "--full" in sys.argv or os.environ.get("BENCH_FULL") == "1"
     device = jax.devices()[0].platform
 
+    suffixes = {"float64": "f64", "float32": "f32", "float32c": "f32c"}
+    baselines = {"float64": BASELINE_F64, "float32": BASELINE_F32,
+                 "float32c": BASELINE_F64}   # f32c is the f64-accuracy mode
+
     rate, elapsed, sim, carry = run_case(scheme, dtype, backend, variant,
                                          rows, cols, steps, reps)
-    suffix = "f64" if dtype == "float64" else "f32"
-    baseline = BASELINE_F64 if dtype == "float64" else BASELINE_F32
     out = {
-        "metric": f"{scheme.replace('-', '_')}_cell_updates_per_s_{suffix}",
+        "metric": f"{scheme.replace('-', '_')}_cell_updates_per_s_"
+                  f"{suffixes[dtype]}",
         "value": round(rate, 1),
         "unit": "cells/s",
-        "vs_baseline": round(rate / baseline, 4),
+        "vs_baseline": round(rate / baselines[dtype], 4),
     }
+
+    # The precision story in the same line: the compensated-f32 mode (the
+    # f64-accuracy-class answer, tests/test_compensated.py) and emulated
+    # XLA f64, both against the reference's 159 M cells/s f64 GPU rate.
+    extra = {}
+    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+        for dt_, st in (("float32c", steps),
+                        ("float64", int(os.environ.get("BENCH_STEPS_F64",
+                                                       20)))):
+            if dt_ == dtype:
+                continue
+            try:
+                r, _, sm, _ = run_case(scheme, dt_, "auto" if dt_ != "float64"
+                                       else "xla", variant, rows, cols, st,
+                                       max(1, reps - 1))
+            except Exception as e:  # noqa: BLE001
+                print(f"# extra {dt_} failed: {e}", file=sys.stderr)
+                continue
+            extra[f"{suffixes[dt_]}_cells_per_s"] = round(r, 1)
+            extra[f"{suffixes[dt_]}_vs_f64_baseline"] = round(
+                r / BASELINE_F64, 4)
+    if extra:
+        out["extra"] = extra
+
     print(json.dumps(out))
     print(f"# grid={rows}x{cols} steps={steps} elapsed={elapsed:.3f}s "
           f"t_sim={float(carry.t):.3f}s dt={float(carry.dt):.4f}s "
@@ -113,7 +140,9 @@ def main():
     cases = [
         # (scheme, dtype, backend, variant, steps, baseline)
         ("muscl-hancock", "float32", "auto", "split12", steps, BASELINE_F32),
+        ("muscl-hancock", "float32c", "auto", None, steps, BASELINE_F64),
         ("godunov", "float32", "auto", None, steps, None),
+        ("godunov", "float32c", "auto", None, steps, BASELINE_F64),
         ("inertial", "float32", "auto", None, steps, None),
         ("muscl-hancock", "float64", "xla", None, f64_steps, BASELINE_F64),
         ("godunov", "float64", "xla", None, f64_steps, None),
@@ -125,7 +154,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — record and continue
             print(f"# FAILED {sch}/{dt_}/{var}: {e}", file=sys.stderr)
             continue
-        sfx = "f64" if dt_ == "float64" else "f32"
+        sfx = suffixes[dt_]
         entry = {
             "metric": f"{sch.replace('-', '_')}_cell_updates_per_s_{sfx}",
             "value": round(r, 1),

@@ -103,7 +103,8 @@ class SimulationHandle:
     def field(self, value: str) -> np.ndarray:
         from .runtime.output import derive_field
         return derive_field(value, self._sim.state_logical,
-                            self._sim.static_logical, self._sim.domain.dx)
+                            self._sim.static_logical, self._sim.domain.dx,
+                            datum=getattr(self._sim.domain, "datum", 0.0))
 
     @property
     def simulation(self):

@@ -58,6 +58,9 @@ class Domain:
             self.active = self.zb > C.NODATA + 0.5
         # Logical (pre-padding) grid dimensions.
         self.logical_rows, self.logical_cols = self.zb.shape
+        # Vertical datum removed from device-side elevations (set by
+        # build(datum_shift=True); 0 until then).
+        self.datum = 0.0
         # Pristine bed snapshot: initial conditions always evaluate against
         # this, making build() idempotent even after edge walls are raised.
         self._zb0 = self.zb.copy()
@@ -140,7 +143,8 @@ class Domain:
                                            constant_values=0.0))
         return self
 
-    def build(self, dtype=np.float64, apply_edges=True, edge_wall_width=1):
+    def build(self, dtype=np.float64, apply_edges=True, edge_wall_width=1,
+              datum_shift=False):
         """Materialise (FlowState, DomainStatic) device arrays.
 
         Initial conditions are evaluated against the ORIGINAL bed, and only
@@ -149,17 +153,39 @@ class Domain:
         conditions load (src/Schemes/CSchemeGodunov.cpp:1057).  Wall cells
         therefore end up deeply dry regardless of any initial depth placed
         on them.
+
+        ``datum_shift`` stores elevations relative to ``self.datum`` =
+        floor(min enabled bed): the whole-domain generalisation of the
+        reference's per-face vertical datum shift (reconstructInterface,
+        src/Schemes/CLSchemeGodunov.clc:27-159).  At single precision the
+        absolute datum otherwise dominates the arithmetic — ulp(1000 m) =
+        6.1e-5 m and z*z pressure terms lose ~1% — so the f32/f32c modes
+        shift; f64 runs unshifted and stays the bit-exact oracle.  The
+        -9999 disabled and 9999.9 wall sentinels are never shifted.
         """
         import jax.numpy as jnp
 
-        zb0 = jnp.asarray(self._zb0, dtype=dtype)
+        z0 = 0.0
+        if datum_shift:
+            enabled0 = self.active & (self._zb0 < 9999.0)
+            if enabled0.any():
+                # floor() keeps the shift exactly representable in both
+                # precisions, so zb - z0 rounds once, identically on host
+                # and device.
+                z0 = float(np.floor(self._zb0[enabled0].min()))
+        self.datum = z0
+
+        zb_init = np.where(self.active, self._zb0 - z0, self._zb0)
+        fsl = None if self._fsl is None else self._fsl - z0
         state = make_initial_state(
-            zb0,
-            depth=self._depth, fsl=self._fsl,
+            jnp.asarray(zb_init, dtype=dtype),
+            depth=self._depth, fsl=fsl,
             qx=self._qx, qy=self._qy,
             active=self.active, dtype=dtype)
         if apply_edges:
             self.apply_edge_treatment(width=edge_wall_width)
-        static = DomainStatic(zb=jnp.asarray(self.zb, dtype=dtype),
+        zb_static = np.where(self.active & (self.zb < 9999.0),
+                             self.zb - z0, self.zb)
+        static = DomainStatic(zb=jnp.asarray(zb_static, dtype=dtype),
                               manning=jnp.asarray(self.manning, dtype=dtype))
         return state, static

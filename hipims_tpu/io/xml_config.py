@@ -116,7 +116,15 @@ def load_config(path) -> LoadedModel:
     cfg.output_frequency = float(sim_params.get("outputfrequency",
                                                 cfg.duration))
     precision = sim_params.get("floatingpointprecision", "double").lower()
-    cfg.dtype = "float64" if precision in ("double", "float64") else "float32"
+    # "compensated" is this framework's extension: f32 state with
+    # Neumaier-compensated z accumulation, giving f64-class accuracy at
+    # f32 speed on TPU (see ops/compensated.py).
+    if precision in ("double", "float64"):
+        cfg.dtype = "float64"
+    elif precision in ("compensated", "float32c", "single-compensated"):
+        cfg.dtype = "float32c"
+    else:
+        cfg.dtype = "float32"
 
     # Real-world start time (drives strftime masks for gridded boundaries;
     # reference: src/CModel.cpp:90-92 "realstart" + Util::fromTimestamp).

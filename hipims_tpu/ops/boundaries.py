@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..state import DomainStatic, FlowState
+from .compensated import comp_add
 from .godunov import SchemeParams
 
 MM_PER_HOUR_TO_M_PER_S = 1.0 / 3_600_000.0
@@ -53,8 +54,10 @@ class UniformBoundary:
     is_loss: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams) -> FlowState:
-        values = jnp.asarray(self.values)
+              params: SchemeParams, comp=None):
+        # Series ride the state dtype — without the cast an x64-enabled
+        # host would silently promote the f32 state update to f64.
+        values = jnp.asarray(self.values, dtype=state.z.dtype)
         idx = jnp.clip((t / self.interval).astype(jnp.int32), 0,
                        values.shape[0] - 1)
         rate = values[idx] * MM_PER_HOUR_TO_M_PER_S * t_hydro
@@ -64,12 +67,22 @@ class UniformBoundary:
         sl = (slice(1, -1), slice(1, -1))
         zc = state.z[sl]
         enabled = state.zmax[sl] > C.NODATA
+        apply_mask = live & enabled
         if self.is_loss:
-            z_new = jnp.maximum(static.zb[sl], zc - rate)
+            # Loss clamps at the bed; as a signed increment so the
+            # compensated path can accumulate it exactly.
+            delta = jnp.maximum(static.zb[sl] - zc, -rate)
         else:
-            z_new = zc + rate
-        z_new = jnp.where(live & enabled, z_new, zc)
-        return state._replace(z=state.z.at[sl].set(z_new))
+            delta = jnp.broadcast_to(rate, zc.shape)
+        delta = jnp.where(apply_mask, delta, 0.0)
+        if comp is None:
+            new = state._replace(z=state.z.at[sl].set(zc + delta))
+            return new
+        # A sub-ulp rainfall increment vanishes in plain f32 (z + delta
+        # == z); the compensation plane is what preserves it.
+        z_new, comp_new = comp_add(zc, comp[sl], delta)
+        return (state._replace(z=state.z.at[sl].set(z_new)),
+                comp.at[sl].set(comp_new))
 
 
 @jax.tree_util.register_dataclass
@@ -85,8 +98,8 @@ class GriddedBoundary:
     mass_flux: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams) -> FlowState:
-        series = jnp.asarray(self.series)
+              params: SchemeParams, comp=None):
+        series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount, grows, gcols = series.shape
         ti = jnp.clip((t / self.interval).astype(jnp.int32), 0, tcount - 1)
 
@@ -107,8 +120,12 @@ class GriddedBoundary:
         sl = (slice(1, -1), slice(1, -1))
         zc = state.z[sl]
         enabled = (state.zmax[sl] > C.NODATA) & (zc != C.NODATA)
-        z_new = jnp.where(live & enabled, zc + rate[sl], zc)
-        return state._replace(z=state.z.at[sl].set(z_new))
+        delta = jnp.where(live & enabled, rate[sl], 0.0)
+        if comp is None:
+            return state._replace(z=state.z.at[sl].set(zc + delta))
+        z_new, comp_new = comp_add(zc, comp[sl], delta)
+        return (state._replace(z=state.z.at[sl].set(z_new)),
+                comp.at[sl].set(comp_new))
 
 
 @jax.tree_util.register_dataclass
@@ -132,9 +149,9 @@ class CellBoundary:
     discharge_mode: int = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams) -> FlowState:
+              params: SchemeParams, comp=None):
         g = C.GRAVITY
-        series = jnp.asarray(self.series)
+        series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount = series.shape[0]
         base = jnp.clip((t / self.interval).astype(jnp.int32), 0, tcount - 1)
         nxt = jnp.clip(base + 1, 0, tcount - 1)
@@ -150,7 +167,9 @@ class CellBoundary:
         if self.depth_mode == DEPTH_IS_DEPTH:
             z_new = zb_c + ts_depth
         elif self.depth_mode == DEPTH_IS_FSL:
-            z_new = jnp.maximum(zb_c, ts_depth)
+            # Timeseries levels are absolute; device elevations may ride a
+            # shifted datum (SchemeParams.datum).
+            z_new = jnp.maximum(zb_c, ts_depth - params.datum)
         else:
             # Free surface: build up depth from the discharge being pushed in
             # (critical-depth floor), reference CLBoundaries.clc:69-101.
@@ -182,20 +201,32 @@ class CellBoundary:
         qx_new = jnp.where(live, qx_new, state.qx[self.rows, self.cols])
         qy_new = jnp.where(live, qy_new, state.qy[self.rows, self.cols])
 
-        return state._replace(
+        new = state._replace(
             z=state.z.at[self.rows, self.cols].set(z_new),
             qx=state.qx.at[self.rows, self.cols].set(qx_new),
             qy=state.qy.at[self.rows, self.cols].set(qy_new),
         )
+        if comp is None:
+            return new
+        # The boundary overwrites z outright, so the running-sum residue
+        # at forced cells is reset while the forcing is live.
+        comp_cells = jnp.where(live, 0.0, comp[self.rows, self.cols])
+        return new, comp.at[self.rows, self.cols].set(comp_cells)
 
 
 Boundaries = Tuple
 
 
 def apply_boundaries(boundaries, state: FlowState, static: DomainStatic,
-                     t, dt, t_hydro, params: SchemeParams) -> FlowState:
+                     t, dt, t_hydro, params: SchemeParams, comp=None):
     """Apply every configured boundary in order (reference fan-out:
-    src/Boundaries/CBoundaryMap.cpp:76-91)."""
+    src/Boundaries/CBoundaryMap.cpp:76-91).  With ``comp`` (compensated-f32
+    z accumulation) returns (state, comp)."""
+    if comp is None:
+        for b in boundaries:
+            state = b.apply(state, static, t, dt, t_hydro, params)
+        return state
     for b in boundaries:
-        state = b.apply(state, static, t, dt, t_hydro, params)
-    return state
+        state, comp = b.apply(state, static, t, dt, t_hydro, params,
+                              comp=comp)
+    return state, comp

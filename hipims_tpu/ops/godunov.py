@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..state import DomainStatic, FlowState
+from .compensated import comp_add
 from .friction import implicit_friction
 from .riemann import local_datum, solve_interfaces
 
@@ -41,6 +42,9 @@ class SchemeParams(NamedTuple):
     very_small: float = C.VERY_SMALL
     quite_small: float = C.QUITE_SMALL
     friction: bool = True
+    # Vertical datum removed from device-side elevations (Domain.build
+    # datum_shift); absolute-FSL boundary inputs subtract it.
+    datum: float = 0.0
 
 
 def _round_small(delta, vs):
@@ -49,12 +53,17 @@ def _round_small(delta, vs):
     return jnp.where(jnp.abs(delta) < vs, 0.0, delta)
 
 
-def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams,
+                     comp=None):
     """Update the interior of halo-extended arrays.
 
     Inputs are (R, Cc) arrays whose outer ring is halo/static; returns the
     four updated (R-2, Cc-2) interior fields.  dt may be a traced scalar;
     dt <= 0 or any per-cell skip condition leaves a cell unchanged.
+
+    ``comp`` (optional, same shape as z) enables compensated-f32
+    accumulation of z (see ops/compensated.py); when given a fifth output,
+    the updated compensation interior, is returned.
     """
     vs = params.very_small
 
@@ -117,7 +126,11 @@ def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
 
     qx_c = jnp.where(stop, 0.0, qx[sl])
     qy_c = jnp.where(stop, 0.0, qy[sl])
-    z_new = zc - dt * d_z
+    if comp is None:
+        z_new = zc - dt * d_z
+    else:
+        comp_c = comp[sl]
+        z_new, comp_new = comp_add(zc, comp_c, -(dt * d_z))
     qx_new = qx_c - dt * d_qx
     qy_new = qy_c - dt * d_qy
 
@@ -129,7 +142,12 @@ def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
     zmax_c = zmax[sl]
     zmax_new = jnp.where((z_new > zmax_c) & (zmax_c > -9990.0),
                          z_new, zmax_c)
-    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+    # Compensated runs judge dryness on the TRUE surface z + comp:
+    # sub-ulp water lives entirely in the residue, and clamping on the
+    # visible value alone would silently erase it.
+    dry_new = ((z_new - zbc < vs) if comp is None
+               else ((z_new - zbc) + comp_new < vs))
+    z_new = jnp.where(dry_new, zbc, z_new)
 
     # --- Skip masks ------------------------------------------------------
     disabled = (zmax_c <= C.NODATA) | (zc == C.NODATA)
@@ -143,23 +161,35 @@ def godunov_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
     zmax_out = jnp.where(keep, zmax_c, zmax_new)
     qx_out = jnp.where(keep, qx[sl], qx_new)
     qy_out = jnp.where(keep, qy[sl], qy_new)
-    return z_out, zmax_out, qx_out, qy_out
+    if comp is None:
+        return z_out, zmax_out, qx_out, qy_out
+    comp_new = jnp.where(dry_new, 0.0, comp_new)
+    comp_out = jnp.where(keep, comp_c, comp_new)
+    return z_out, zmax_out, qx_out, qy_out, comp_out
 
 
 def godunov_step(state: FlowState, static: DomainStatic, dt,
-                 params: SchemeParams) -> FlowState:
-    """One first-order step on the whole grid (XLA backend)."""
+                 params: SchemeParams, comp=None):
+    """One first-order step on the whole grid (XLA backend).
+
+    With ``comp`` (compensated-f32 z accumulation) returns
+    (FlowState, comp_new); without it, just the FlowState."""
     z, zmax, qx, qy = (jnp.asarray(a) for a in
                        (state.z, state.zmax, state.qx, state.qy))
     zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+    if comp is not None:
+        comp = jnp.asarray(comp)
 
-    z_out, zmax_out, qx_out, qy_out = godunov_interior(
-        z, zmax, qx, qy, zb, n, dt, params)
+    out = godunov_interior(z, zmax, qx, qy, zb, n, dt, params, comp=comp)
+    z_out, zmax_out, qx_out, qy_out = out[:4]
 
     sl = (slice(1, -1), slice(1, -1))
-    return FlowState(
+    new = FlowState(
         z=z.at[sl].set(z_out),
         zmax=zmax.at[sl].set(zmax_out),
         qx=qx.at[sl].set(qx_out),
         qy=qy.at[sl].set(qy_out),
     )
+    if comp is None:
+        return new
+    return new, comp.at[sl].set(out[4])

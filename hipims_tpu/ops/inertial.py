@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..state import DomainStatic, FlowState
+from .compensated import comp_add
 from .godunov import SchemeParams
 
 
@@ -46,9 +47,11 @@ def _face_discharge(manning, dt, prev_q, level_up, bed_up, level_down,
     return jnp.where(dry, 0.0, q)
 
 
-def inertial_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+def inertial_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams,
+                      comp=None):
     """Update the interior of halo-extended arrays (radius 1); returns the
-    four updated (M-2, Cc-2) interior fields."""
+    four updated (M-2, Cc-2) interior fields (five with ``comp``; see
+    ops/compensated.py)."""
     vs = params.very_small
     dx = params.dx
 
@@ -80,11 +83,19 @@ def inertial_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
 
     zc, zbc = z[sl], zb[sl]
     d_fsl = (q_e - q_w + q_n - q_s) / params.dy
-    z_new = zc + dt * d_fsl
+    if comp is None:
+        z_new = zc + dt * d_fsl
+    else:
+        comp_c = comp[sl]
+        z_new, comp_new = comp_add(zc, comp_c, dt * d_fsl)
 
     zmax_c = zmax[sl]
     zmax_new = jnp.where(z_new > zmax_c, z_new, zmax_c)
-    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+    # Compensated runs judge dryness on the TRUE surface z + comp (see
+    # godunov_interior).
+    dry_new = ((z_new - zbc < vs) if comp is None
+               else ((z_new - zbc) + comp_new < vs))
+    z_new = jnp.where(dry_new, zbc, z_new)
 
     disabled = (zmax_c <= C.NODATA) | (zc == C.NODATA)
     h_raw = z - zb
@@ -93,25 +104,36 @@ def inertial_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
             & dry[2:, 1:-1] & dry[:-2, 1:-1])
     keep = disabled | dry5 | (dt <= 0.0)
 
-    return (jnp.where(keep, zc, z_new),
+    outs = (jnp.where(keep, zc, z_new),
             jnp.where(keep, zmax_c, zmax_new),
             jnp.where(keep, qx[sl], q_w),
             jnp.where(keep, qy[sl], q_s))
+    if comp is None:
+        return outs
+    comp_new = jnp.where(dry_new, 0.0, comp_new)
+    return outs + (jnp.where(keep, comp_c, comp_new),)
 
 
 def inertial_step(state: FlowState, static: DomainStatic, dt,
-                  params: SchemeParams) -> FlowState:
-    """One partial-inertial step on the whole grid (XLA backend)."""
+                  params: SchemeParams, comp=None):
+    """One partial-inertial step on the whole grid (XLA backend).
+
+    With ``comp`` returns (FlowState, comp_new); without, the FlowState."""
     z, zmax, qx, qy = (jnp.asarray(a) for a in state)
     zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+    if comp is not None:
+        comp = jnp.asarray(comp)
 
-    z_out, zmax_out, qx_out, qy_out = inertial_interior(
-        z, zmax, qx, qy, zb, n, dt, params)
+    out = inertial_interior(z, zmax, qx, qy, zb, n, dt, params, comp=comp)
+    z_out, zmax_out, qx_out, qy_out = out[:4]
 
     sl = (slice(1, -1), slice(1, -1))
-    return FlowState(
+    new = FlowState(
         z=z.at[sl].set(z_out),
         zmax=zmax.at[sl].set(zmax_out),
         qx=qx.at[sl].set(qx_out),
         qy=qy.at[sl].set(qy_out),
     )
+    if comp is None:
+        return new
+    return new, comp.at[sl].set(out[4])

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..state import DomainStatic, FlowState
+from .compensated import comp_add
 from .friction import implicit_friction
 from .godunov import SchemeParams, _round_small
 from .limiters import slope_vector
@@ -234,14 +235,16 @@ def faces_from_base_slopes(base, sx, sy):
 
 
 def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
-                             params: SchemeParams):
+                             params: SchemeParams, comp=None):
     """Full-timestep corrector for the two-ring interior of (M, Cc) arrays.
 
     ``slabs`` are the predictor's (M-2, Cc-2) FaceExtrap slabs, where
     slab[j, i] belongs to cell (j+1, i+1) (no ring padding — the ring
     extraps are never consumed, and Mosaic cannot lower the padding
     concatenate anyway).  Returns the four updated (M-4, Cc-4) interior
-    fields.
+    fields (plus the updated compensation plane when ``comp`` is given;
+    see ops/compensated.py — the half-step predictor state is a
+    within-step temporary and is intentionally not compensated).
     """
     vs = params.very_small
     ex_n, ex_e, ex_s, ex_w = slabs
@@ -301,7 +304,11 @@ def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
     stop = f_e.stop_l | f_w.stop_r | f_n.stop_l | f_s.stop_r
     qx_c = jnp.where(stop, 0.0, qx[sl])
     qy_c = jnp.where(stop, 0.0, qy[sl])
-    z_new = zc - dt * d_z
+    if comp is None:
+        z_new = zc - dt * d_z
+    else:
+        comp_c = comp[sl]
+        z_new, comp_new = comp_add(zc, comp_c, -(dt * d_z))
     qx_new = qx_c - dt * d_qx
     qy_new = qy_c - dt * d_qy
 
@@ -313,7 +320,12 @@ def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
     # Corrector order differs from the 1st-order kernel: clamp tiny depths
     # BEFORE the max-FSL update (reference:
     # src/Schemes/CLSchemeMUSCLHancock.clc:791-797).
-    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+    # Compensated runs judge dryness on the TRUE surface z + comp:
+    # sub-ulp water lives entirely in the residue, and clamping on the
+    # visible value alone would silently erase it.
+    dry_new = ((z_new - zbc < vs) if comp is None
+               else ((z_new - zbc) + comp_new < vs))
+    z_new = jnp.where(dry_new, zbc, z_new)
     zmax_c = zmax[sl]
     zmax_new = jnp.where((z_new > zmax_c) & (zmax_c > -9990.0),
                          z_new, zmax_c)
@@ -331,37 +343,50 @@ def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
     zmax_out = jnp.where(keep, zmax_c, zmax_new)
     qx_out = jnp.where(keep, qx[sl], qx_new)
     qy_out = jnp.where(keep, qy[sl], qy_new)
-    return z_out, zmax_out, qx_out, qy_out
+    if comp is None:
+        return z_out, zmax_out, qx_out, qy_out
+    comp_new = jnp.where(dry_new, 0.0, comp_new)
+    comp_out = jnp.where(keep, comp_c, comp_new)
+    return z_out, zmax_out, qx_out, qy_out, comp_out
 
 
-def muscl_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams):
+def muscl_interior(z, zmax, qx, qy, zb, n, dt, params: SchemeParams,
+                   comp=None):
     """Predictor + corrector on halo-extended arrays (radius 2): input
-    (M, Cc) arrays, output the four updated (M-4, Cc-4) interior fields."""
+    (M, Cc) arrays, output the four updated (M-4, Cc-4) interior fields
+    (five with ``comp``)."""
     slabs = muscl_predictor_interior(z, zmax, qx, qy, zb, dt, params)
     return muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
-                                    params)
+                                    params, comp=comp)
 
 
 def muscl_step(state: FlowState, static: DomainStatic, dt,
-               params: SchemeParams) -> FlowState:
-    """One full MUSCL-Hancock step on the whole grid (XLA backend)."""
+               params: SchemeParams, comp=None):
+    """One full MUSCL-Hancock step on the whole grid (XLA backend).
+
+    With ``comp`` returns (FlowState, comp_new); without, the FlowState."""
     z, zmax, qx, qy = (jnp.asarray(a) for a in state)
     zb, n = jnp.asarray(static.zb), jnp.asarray(static.manning)
+    if comp is not None:
+        comp = jnp.asarray(comp)
 
-    z_out, zmax_out, qx_out, qy_out = muscl_interior(
-        z, zmax, qx, qy, zb, n, dt, params)
+    out = muscl_interior(z, zmax, qx, qy, zb, n, dt, params, comp=comp)
+    z_out, zmax_out, qx_out, qy_out = out[:4]
 
     sl = (slice(2, -2), slice(2, -2))
-    return FlowState(
+    new = FlowState(
         z=z.at[sl].set(z_out),
         zmax=zmax.at[sl].set(zmax_out),
         qx=qx.at[sl].set(qx_out),
         qy=qy.at[sl].set(qy_out),
     )
+    if comp is None:
+        return new
+    return new, comp.at[sl].set(out[4])
 
 
 def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
-                         params: SchemeParams):
+                         params: SchemeParams, comp=None):
     """Radius-1 corrector over FULL-SIZE face-extrapolation arrays.
 
     ``faces`` are (M, Cc) FaceExtrap arrays aligned with the state (ring
@@ -420,7 +445,11 @@ def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
     stop = f_e.stop_l | f_w.stop_r | f_n.stop_l | f_s.stop_r
     qx_c = jnp.where(stop, 0.0, qx[sl])
     qy_c = jnp.where(stop, 0.0, qy[sl])
-    z_new = zc - dt * d_z
+    if comp is None:
+        z_new = zc - dt * d_z
+    else:
+        comp_c = comp[sl]
+        z_new, comp_new = comp_add(zc, comp_c, -(dt * d_z))
     qx_new = qx_c - dt * d_qx
     qy_new = qy_c - dt * d_qy
 
@@ -429,7 +458,12 @@ def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
             z_new, qx_new, qy_new, zbc, n[sl],
             jnp.maximum(dt, vs), vs)
 
-    z_new = jnp.where(z_new - zbc < vs, zbc, z_new)
+    # Compensated runs judge dryness on the TRUE surface z + comp:
+    # sub-ulp water lives entirely in the residue, and clamping on the
+    # visible value alone would silently erase it.
+    dry_new = ((z_new - zbc < vs) if comp is None
+               else ((z_new - zbc) + comp_new < vs))
+    z_new = jnp.where(dry_new, zbc, z_new)
     zmax_c = zmax[sl]
     zmax_new = jnp.where((z_new > zmax_c) & (zmax_c > -9990.0),
                          z_new, zmax_c)
@@ -440,7 +474,11 @@ def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
             & (zmax[1:-1, 2:] < vs) & (zmax[1:-1, :-2] < vs))
     keep = disabled | dry5 | (dt <= 0.0)
 
-    return (jnp.where(keep, zc, z_new),
+    outs = (jnp.where(keep, zc, z_new),
             jnp.where(keep, zmax_c, zmax_new),
             jnp.where(keep, qx[sl], qx_new),
             jnp.where(keep, qy[sl], qy_new))
+    if comp is None:
+        return outs
+    comp_new = jnp.where(dry_new, 0.0, comp_new)
+    return outs + (jnp.where(keep, comp_c, comp_new),)

@@ -41,8 +41,8 @@ from ..godunov import SchemeParams
 from ..limiters import slope_vector
 from ..muscl import (FaceExtrap, faces_from_base_slopes, first_order_mask,
                      muscl_corrector_full, muscl_predictor_base_slopes)
-from .stencil import (HALO, VMEM_LIMIT, pick_tile_rows, pipeline_epilogue,
-                      pipeline_prologue, supports)
+from .stencil import (HALO, VMEM_LIMIT, _i32, pick_tile_rows,
+                      pipeline_epilogue, pipeline_prologue, supports)
 
 N_PRED = 12   # base(z,h,qx,qy) + sx(4) + sy(4)
 RING = 2      # MUSCL static ring width
@@ -77,7 +77,7 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
                                     sem_out, t, n_tiles, tr, rows)
 
     w0, w1 = HALO - 1, HALO + tr + 1
-    z, zmax, qx, qy, zb = (scr[slot, k, w0:w1, :] for k in range(n_in))
+    z, zmax, qx, qy, zb = (scr[slot, _i32(k), w0:w1, :] for k in range(n_in))
     dt = dt_ref[0, 0]
 
     base, sx, sy = muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
@@ -90,13 +90,13 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
                     qx=qx[1:-1, :], qy=qy[1:-1, :])
     idx = 0
     for slab, comp_fo in zip(base, fo):
-        out_scr[slot, idx] = jnp.concatenate(
+        out_scr[slot, _i32(idx)] = jnp.concatenate(
             [comp_fo[:, :1], slab, comp_fo[:, -1:]], axis=1)
         idx += 1
     zeros = jnp.zeros((base.z.shape[0], 1), base.z.dtype)
     for vec in (sx, sy):
         for slab in vec:
-            out_scr[slot, idx] = jnp.concatenate([zeros, slab, zeros],
+            out_scr[slot, _i32(idx)] = jnp.concatenate([zeros, slab, zeros],
                                                  axis=1)
             idx += 1
 
@@ -104,15 +104,16 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 
 def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
-                      logical_rows, logical_cols):
-    n_in = 6 + N_PRED
+                      logical_rows, logical_cols, compensated=False):
+    n_in = 6 + N_PRED + (1 if compensated else 0)
+    n_out = 4 + (1 if compensated else 0)
     ins = refs[:n_in]
-    outs = refs[n_in:n_in + 4]
-    speed_ref = refs[n_in + 4]
-    scr = refs[n_in + 5]
-    out_scr = refs[n_in + 6]
-    sem_in = refs[n_in + 7]
-    sem_out = refs[n_in + 8]
+    outs = refs[n_in:n_in + n_out]
+    speed_ref = refs[n_in + n_out]
+    scr = refs[n_in + n_out + 1]
+    out_scr = refs[n_in + n_out + 2]
+    sem_in = refs[n_in + n_out + 3]
+    sem_out = refs[n_in + n_out + 4]
 
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -121,16 +122,18 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
                                     sem_out, t, n_tiles, tr, rows)
 
     w0, w1 = HALO - 1, HALO + tr + 1
-    win = [scr[slot, k, w0:w1, :] for k in range(n_in)]
+    win = [scr[slot, _i32(k), w0:w1, :] for k in range(n_in)]
     z, zmax, qx, qy, zb, n = win[:6]
     base = FaceExtrap(*win[6:10])
     sx = tuple(win[10:14])
     sy = tuple(win[14:18])
+    comp = win[18] if compensated else None
     faces = faces_from_base_slopes(base, sx, sy)
     dt = dt_ref[0, 0]
 
-    zi, zmaxi, qxi, qyi = muscl_corrector_full(z, zmax, qx, qy, zb, n,
-                                               faces, dt, params)
+    out = muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt, params,
+                               comp=comp)
+    zi, zmaxi, qxi, qyi = out[:4]
 
     # Two-cell static ring by global index.
     gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
@@ -149,10 +152,13 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     zmaxf = full_width(zmax, zmaxi)
     qxf = full_width(qx, qxi)
     qyf = full_width(qy, qyi)
-    out_scr[slot, 0] = zf
-    out_scr[slot, 1] = zmaxf
-    out_scr[slot, 2] = qxf
-    out_scr[slot, 3] = qyf
+    out_scr[slot, _i32(0)] = zf
+    out_scr[slot, _i32(1)] = zmaxf
+    out_scr[slot, _i32(2)] = qxf
+    out_scr[slot, _i32(3)] = qyf
+    if compensated:
+        compi = jnp.where(ring, comp[1:-1, 1:-1], out[4])
+        out_scr[slot, _i32(4)] = full_width(comp, compi)
 
     h = zf - zb[1:-1, :]
     wet = (h > params.quite_small) & (zmaxf > C.NODATA)
@@ -187,7 +193,7 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
                                     sem_out, t, n_tiles, tr, rows)
 
     w0, w1 = HALO - 1, HALO + tr + 1
-    z, zmax, qx, qy, zb = (scr[slot, k, w0:w1, :] for k in range(n_in))
+    z, zmax, qx, qy, zb = (scr[slot, _i32(k), w0:w1, :] for k in range(n_in))
     dt = dt_ref[0, 0]
 
     base, _sx, _sy = muscl_predictor_base_slopes(z, zmax, qx, qy, zb, dt,
@@ -196,14 +202,15 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     fo = FaceExtrap(z=z[1:-1, :], h=z[1:-1, :] - zb[1:-1, :],
                     qx=qx[1:-1, :], qy=qy[1:-1, :])
     for idx, (slab, comp_fo) in enumerate(zip(base, fo)):
-        out_scr[slot, idx] = jnp.concatenate(
+        out_scr[slot, _i32(idx)] = jnp.concatenate(
             [comp_fo[:, :1], slab, comp_fo[:, -1:]], axis=1)
 
     pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
 
 
 def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
-                                cols, logical_rows, logical_cols):
+                                cols, logical_rows, logical_cols,
+                                compensated=False):
     """Corrector that re-derives the limited slopes from the original
     state (DMA'd with the standard aligned halo) instead of loading the 8
     slope planes from HBM — bitwise-identical faces, ~40 B/cell less HBM
@@ -212,14 +219,15 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     are zeroed exactly as ``muscl_predictor_base_slopes`` stored them
     (Mosaic cannot concatenate arrays whose sublane offsets differ, hence
     the roll + iota-mask construction)."""
-    n_in = 10  # z zmax qx qy zb n + base(4)
+    n_in = 10 + (1 if compensated else 0)  # z zmax qx qy zb n + base(4)
+    n_out = 4 + (1 if compensated else 0)
     ins = refs[:n_in]
-    outs = refs[n_in:n_in + 4]
-    speed_ref = refs[n_in + 4]
-    scr = refs[n_in + 5]
-    out_scr = refs[n_in + 6]
-    sem_in = refs[n_in + 7]
-    sem_out = refs[n_in + 8]
+    outs = refs[n_in:n_in + n_out]
+    speed_ref = refs[n_in + n_out]
+    scr = refs[n_in + n_out + 1]
+    out_scr = refs[n_in + n_out + 2]
+    sem_in = refs[n_in + n_out + 3]
+    sem_out = refs[n_in + n_out + 4]
 
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -229,12 +237,13 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
 
     # Radius-2 row window for the slope recompute's N/S neighbours.
     v0, v1 = HALO - 2, HALO + tr + 2
-    z2, zmax2, qx2, qy2, zb2 = (scr[slot, k, v0:v1, :] for k in range(5))
+    z2, zmax2, qx2, qy2, zb2 = (scr[slot, _i32(k), v0:v1, :] for k in range(5))
     # Radius-1 window for everything else.
     w0, w1 = HALO - 1, HALO + tr + 1
-    win = [scr[slot, k, w0:w1, :] for k in range(n_in)]
+    win = [scr[slot, _i32(k), w0:w1, :] for k in range(n_in)]
     z, zmax, qx, qy, zb, n = win[:6]
     base = FaceExtrap(*win[6:10])
+    comp = win[10] if compensated else None
     dt = dt_ref[0, 0]
 
     vs = params.very_small
@@ -271,8 +280,9 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
 
     faces = faces_from_base_slopes(base, mask_slope(sx), mask_slope(sy))
 
-    zi, zmaxi, qxi, qyi = muscl_corrector_full(z, zmax, qx, qy, zb, n,
-                                               faces, dt, params)
+    out = muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt, params,
+                               comp=comp)
+    zi, zmaxi, qxi, qyi = out[:4]
 
     gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
     cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
@@ -290,10 +300,13 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     zmaxf = full_width(zmax, zmaxi)
     qxf = full_width(qx, qxi)
     qyf = full_width(qy, qyi)
-    out_scr[slot, 0] = zf
-    out_scr[slot, 1] = zmaxf
-    out_scr[slot, 2] = qxf
-    out_scr[slot, 3] = qyf
+    out_scr[slot, _i32(0)] = zf
+    out_scr[slot, _i32(1)] = zmaxf
+    out_scr[slot, _i32(2)] = qxf
+    out_scr[slot, _i32(3)] = qyf
+    if compensated:
+        compi = jnp.where(ring, comp[1:-1, 1:-1], out[4])
+        out_scr[slot, _i32(4)] = full_width(comp, compi)
 
     h = zf - zb[1:-1, :]
     wet = (h > params.quite_small) & (zmaxf > C.NODATA)
@@ -312,11 +325,15 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
 def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                             params: SchemeParams, tile_rows=None,
                             interpret: bool = False, logical_rows=None,
-                            logical_cols=None, variant=None):
+                            logical_cols=None, variant=None, comp=None):
     """Fused two-kernel MUSCL step + CFL reduce.  Returns
-    (new_state, max_wave_speed).  ``variant`` picks the predictor/corrector
-    pair ("split12" | "recompute"; None = DEFAULT_VARIANT)."""
+    (new_state, max_wave_speed), plus the updated compensation plane when
+    ``comp`` (compensated-f32 z accumulation) is given — the residue only
+    touches the corrector, which owns the full-step z update.  ``variant``
+    picks the predictor/corrector pair ("split12" | "recompute";
+    None = DEFAULT_VARIANT)."""
     rows, cols = state.z.shape
+    compensated = comp is not None
     if variant is None:
         variant = DEFAULT_VARIANT
     if variant not in ("split12", "recompute"):
@@ -366,28 +383,39 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     # ---- kernel C -------------------------------------------------------
     ck = functools.partial(corr_fn, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols,
-                           logical_rows=lr, logical_cols=lc)
-    n_in = 6 + n_pred
-    zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
+                           logical_rows=lr, logical_cols=lc,
+                           compensated=compensated)
+    n_in = 6 + n_pred + (1 if compensated else 0)
+    n_out = 4 + (1 if compensated else 0)
+    corr_inputs = [dt_arr, state.z, state.zmax, state.qx, state.qy,
+                   static.zb, static.manning, *pred]
+    if compensated:
+        corr_inputs.append(comp)
+    outs = pl.pallas_call(
         ck,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[
                 pltpu.VMEM((2, n_in, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((2, 4, tile_rows, cols), dtype),
+                pltpu.VMEM((2, n_out, tile_rows, cols), dtype),
                 pltpu.SemaphoreType.DMA((2, n_in)),
-                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, n_out)),
             ]),
-        out_shape=[plane] * 4 + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
+        out_shape=[plane] * n_out
+        + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb,
-      static.manning, *pred)
+    )(*corr_inputs)
 
-    return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)
+    zo, zmaxo, qxo, qyo = outs[:4]
+    speeds = outs[-1]
+    new = FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo)
+    if compensated:
+        return new, jnp.max(speeds), outs[4]
+    return new, jnp.max(speeds)

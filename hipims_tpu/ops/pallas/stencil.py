@@ -93,19 +93,27 @@ def pick_tile_rows(rows: int, cols: int, temp_floats: int = 40,
 # window is clamped at the array ends to keep every slice 8-row aligned).
 # ---------------------------------------------------------------------------
 
+def _i32(v):
+    # Literal plane indices must stay 32-bit: under an x64-enabled host
+    # they otherwise lower as i64 scalars, which Mosaic's memref_slice
+    # rejects ("operand #1 must be ... 32-bit signless integer").
+    return jnp.asarray(v, jnp.int32)
+
+
 def _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k):
+    ik = _i32(k)
     if case == "first":
         return pltpu.make_async_copy(
             ins[k].at[pl.ds(0, tr + HALO)],
-            scr.at[slot, k, pl.ds(HALO, tr + HALO)], sem.at[slot, k])
+            scr.at[slot, ik, pl.ds(HALO, tr + HALO)], sem.at[slot, ik])
     if case == "last":
         return pltpu.make_async_copy(
             ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
-            scr.at[slot, k, pl.ds(0, tr + HALO)], sem.at[slot, k])
+            scr.at[slot, ik, pl.ds(0, tr + HALO)], sem.at[slot, ik])
     start = pl.multiple_of(ti * tr - HALO, 8)
     return pltpu.make_async_copy(
         ins[k].at[pl.ds(start, tr + 2 * HALO)],
-        scr.at[slot, k], sem.at[slot, k])
+        scr.at[slot, ik], sem.at[slot, ik])
 
 
 def _halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows, op):
@@ -143,18 +151,20 @@ def wait_halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows):
 def start_tile_store(outs, out_scr, sem, ti, slot, tr):
     start = pl.multiple_of(ti * tr, 8)
     for k in range(len(outs)):
-        pltpu.make_async_copy(out_scr.at[slot, k],
+        ik = _i32(k)
+        pltpu.make_async_copy(out_scr.at[slot, ik],
                               outs[k].at[pl.ds(start, tr)],
-                              sem.at[slot, k]).start()
+                              sem.at[slot, ik]).start()
 
 
 def wait_tile_store(outs, out_scr, sem, slot, tr):
     # The wait only consumes the semaphore byte count; every store moves
     # the same (tr, cols) block, so a fixed-offset descriptor matches.
     for k in range(len(outs)):
-        pltpu.make_async_copy(out_scr.at[slot, k],
+        ik = _i32(k)
+        pltpu.make_async_copy(out_scr.at[slot, ik],
                               outs[k].at[pl.ds(0, tr)],
-                              sem.at[slot, k]).wait()
+                              sem.at[slot, ik]).wait()
 
 
 def pipeline_prologue(ins, outs, scr, out_scr, sem_in, sem_out, t,
@@ -204,15 +214,18 @@ def supports(rows: int, cols: int, tile_rows=None,
 
 def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
             tile_rows: int, rows: int, cols: int, logical_rows: int,
-            logical_cols: int, simplified_speed: bool):
+            logical_cols: int, simplified_speed: bool,
+            compensated: bool = False):
     interior_fn, radius, _ = INTERIOR[scheme]
-    ins = refs[:N_IN]
-    outs = refs[N_IN:N_IN + N_OUT]
-    speed_ref = refs[N_IN + N_OUT]
-    scr = refs[N_IN + N_OUT + 1]       # (2, N_IN, TR+2*HALO, C)
-    out_scr = refs[N_IN + N_OUT + 2]   # (2, N_OUT, TR, C)
-    sem_in = refs[N_IN + N_OUT + 3]
-    sem_out = refs[N_IN + N_OUT + 4]
+    n_in = N_IN + (1 if compensated else 0)   # + comp plane
+    n_out = N_OUT + (1 if compensated else 0)
+    ins = refs[:n_in]
+    outs = refs[n_in:n_in + n_out]
+    speed_ref = refs[n_in + n_out]
+    scr = refs[n_in + n_out + 1]       # (2, n_in, TR+2*HALO, C)
+    out_scr = refs[n_in + n_out + 2]   # (2, n_out, TR, C)
+    sem_in = refs[n_in + n_out + 3]
+    sem_out = refs[n_in + n_out + 4]
 
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -227,10 +240,14 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     # Compute window: interior of [HALO-radius, HALO+TR+radius) == output
     # rows.
     w0, w1 = HALO - radius, HALO + tr + radius
-    z, zmax, qx, qy, zb, n = (scr[slot, k, w0:w1, :] for k in range(N_IN))
+    z, zmax, qx, qy, zb, n = (scr[slot, _i32(k), w0:w1, :]
+                              for k in range(N_IN))
+    comp = scr[slot, _i32(N_IN), w0:w1, :] if compensated else None
     dt = dt_ref[0, 0]
 
-    zi, zmaxi, qxi, qyi = interior_fn(z, zmax, qx, qy, zb, n, dt, params)
+    out = interior_fn(z, zmax, qx, qy, zb, n, dt, params, comp=comp) \
+        if compensated else interior_fn(z, zmax, qx, qy, zb, n, dt, params)
+    zi, zmaxi, qxi, qyi = out[:4]
 
     # The LOGICAL grid's static ring stays untouched (padding cells beyond
     # it are disabled and already keep their state): mask by global index.
@@ -253,10 +270,13 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     zmaxf = full_width(zmax, zmaxi)
     qxf = full_width(qx, qxi)
     qyf = full_width(qy, qyi)
-    out_scr[slot, 0] = zf
-    out_scr[slot, 1] = zmaxf
-    out_scr[slot, 2] = qxf
-    out_scr[slot, 3] = qyf
+    out_scr[slot, _i32(0)] = zf
+    out_scr[slot, _i32(1)] = zmaxf
+    out_scr[slot, _i32(2)] = qxf
+    out_scr[slot, _i32(3)] = qyf
+    if compensated:
+        compi = jnp.where(ring, comp[rs, rs], out[4])
+        out_scr[slot, _i32(4)] = full_width(comp, compi)
 
     # ---- fused CFL partial max over the updated rows ---------------------
     # Covers every global row across the tile set, like the reference's
@@ -285,11 +305,16 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
                         tile_rows=None,
                         interpret: bool = False,
                         logical_rows=None,
-                        logical_cols=None):
+                        logical_cols=None,
+                        comp=None):
     """Fused step + CFL reduce for any scheme.  Returns
-    (new_state, max_wave_speed)."""
+    (new_state, max_wave_speed), or (new_state, max_wave_speed, comp_new)
+    when ``comp`` (the compensated-f32 z residue plane) is given — the
+    residue rides the same DMA pipeline as a 7th input / 5th output
+    plane."""
     rows, cols = state.z.shape
     temp = INTERIOR[scheme][2]
+    compensated = comp is not None
     if tile_rows is None:
         tile_rows = pick_tile_rows(rows, cols, temp)
     if not supports(rows, cols, tile_rows, scheme):
@@ -298,12 +323,14 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
             "Pallas alignment contract (see Domain.pad_for_tiles)")
     n_tiles = rows // tile_rows
     dtype = state.z.dtype
+    n_in = N_IN + (1 if compensated else 0)
+    n_out = N_OUT + (1 if compensated else 0)
 
     kernel = functools.partial(
         _kernel, scheme=scheme, params=params, tile_rows=tile_rows,
         rows=rows, cols=cols,
         logical_rows=logical_rows or rows, logical_cols=logical_cols or cols,
-        simplified_speed=simplified_speed)
+        simplified_speed=simplified_speed, compensated=compensated)
 
     dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
 
@@ -311,33 +338,42 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * N_IN,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * N_OUT
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
-            pltpu.VMEM((2, N_IN, tile_rows + 2 * HALO, cols), dtype),
-            pltpu.VMEM((2, N_OUT, tile_rows, cols), dtype),
-            pltpu.SemaphoreType.DMA((2, N_IN)),
-            pltpu.SemaphoreType.DMA((2, N_OUT)),
+            pltpu.VMEM((2, n_in, tile_rows + 2 * HALO, cols), dtype),
+            pltpu.VMEM((2, n_out, tile_rows, cols), dtype),
+            pltpu.SemaphoreType.DMA((2, n_in)),
+            pltpu.SemaphoreType.DMA((2, n_out)),
         ],
     )
 
     out_shapes = (
-        [jax.ShapeDtypeStruct((rows, cols), dtype) for _ in range(N_OUT)]
+        [jax.ShapeDtypeStruct((rows, cols), dtype) for _ in range(n_out)]
         + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)]
     )
 
-    zo, zmaxo, qxo, qyo, speeds = pl.pallas_call(
+    inputs = [dt_arr, state.z, state.zmax, state.qx, state.qy,
+              static.zb, static.manning]
+    if compensated:
+        inputs.append(comp)
+
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dt_arr, state.z, state.zmax, state.qx, state.qy,
-      static.zb, static.manning)
+    )(*inputs)
 
-    return FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo), jnp.max(speeds)
+    zo, zmaxo, qxo, qyo = outs[:4]
+    speeds = outs[-1]
+    new = FlowState(z=zo, zmax=zmaxo, qx=qxo, qy=qyo)
+    if compensated:
+        return new, jnp.max(speeds), outs[4]
+    return new, jnp.max(speeds)
 
 
 def godunov_step_pallas(state, static, dt, params, simplified_speed=False,

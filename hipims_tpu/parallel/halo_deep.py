@@ -71,9 +71,12 @@ def _extend2d(arr, pad, py, px):
 def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                           ts_params: TimestepParams,
                           boundaries: Sequence, end_time: float,
-                          window: int, logical_rows: int, logical_cols: int):
-    """Jitted runner: (state, carry, static, sync_time, n_windows) ->
-    (state, carry), executing ``window`` steps per halo exchange."""
+                          window: int, logical_rows: int, logical_cols: int,
+                          compensated: bool = False):
+    """Jitted runner: (state, carry, static, sync_time, comp, n_windows) ->
+    (state, carry, comp), executing ``window`` steps per halo exchange.
+    ``comp`` is the compensated-f32 z residue plane (or None); it is halo-
+    exchanged and stepped alongside the state (see ops/compensated.py)."""
     py, px = mesh.devices.shape
     radius = 2 if scheme.name == "muscl-hancock" else 1
     # +1: the outermost extended ring never updates and skips boundary
@@ -84,10 +87,9 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
 
     grid_spec = P("my", "mx")
 
-    def local_window(state, carry, static, sync_time):
+    def local_window(state, carry, static, sync_time, comp):
         z, zmax, qx, qy = state
         zb, n = static
-        state = FlowState(z, zmax, qx, qy)
 
         # Global offsets of this device's block.
         r, c = z.shape
@@ -97,6 +99,7 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         # --- one deep halo exchange per window ------------------------
         ext = [_extend2d(a, pad, py, px) for a in (z, zmax, qx, qy, zb, n)]
         ez, ezmax, eqx, eqy, ezb, en = ext
+        ecomp = _extend2d(comp, pad, py, px) if compensated else None
 
         # Static-ring + out-of-domain mask on the extended block (global
         # index space; zero-filled out-of-mesh halos land outside too).
@@ -110,16 +113,27 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         estatic = DomainStatic(ezb, en)
 
         def body(sc, _):
-            st, cr = sc
+            st, cr, cm = sc
             # Boundaries on the extended block (halo copies get the same
             # forcing their owners apply); the global static ring must not
             # receive forcing, mirroring the single-device interior slice.
-            st_pre = st
+            st_pre, cm_pre = st, cm
             for b in boundaries:
-                st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro, params)
+                if compensated:
+                    st, cm = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
+                                     params, comp=cm)
+                else:
+                    st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
+                                 params)
             st = FlowState(*(jnp.where(ring, o, v)
                              for o, v in zip(st_pre, st)))
-            new = step_fn(st, estatic, cr.dt, params)
+            if compensated:
+                cm = jnp.where(ring, cm_pre, cm)
+                new, cm_new = step_fn(st, estatic, cr.dt, params, comp=cm)
+                cm_new = jnp.where(ring, cm, cm_new)
+            else:
+                new = step_fn(st, estatic, cr.dt, params)
+                cm_new = None
             new = FlowState(*(jnp.where(ring, o, v)
                               for o, v in zip(st, new)))
             # Global lock-step dt: local max speed, then max across the
@@ -140,32 +154,37 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
             gmax = jax.lax.pmax(jax.lax.pmax(local_max, "my"), "mx")
             cr = advance(cr, gmax, sync_time, end_time, params.dx,
                          ts_params)
-            return (new, cr), None
+            return (new, cr, cm_new), None
 
-        (est, carry), _ = jax.lax.scan(body, (est, carry), length=window)
+        (est, carry, ecomp), _ = jax.lax.scan(body, (est, carry, ecomp),
+                                              length=window)
 
         interior = (slice(pad, pad + r), slice(pad, pad + c))
-        return tuple(a[interior] for a in est), carry
+        out_comp = ecomp[interior] if compensated else comp
+        return tuple(a[interior] for a in est), carry, out_comp
 
     try:
         shard_map = jax.shard_map
     except AttributeError:                      # older jax
         from jax.experimental.shard_map import shard_map
 
+    comp_spec = grid_spec if compensated else P()
     sharded = shard_map(
         local_window, mesh=mesh,
-        in_specs=((grid_spec,) * 4, P(), (grid_spec, grid_spec), P()),
-        out_specs=((grid_spec,) * 4, P()),
+        in_specs=((grid_spec,) * 4, P(), (grid_spec, grid_spec), P(),
+                  comp_spec),
+        out_specs=((grid_spec,) * 4, P(), comp_spec),
     )
 
     @partial(jax.jit, static_argnames=("n_steps",),
-             donate_argnames=("state", "carry"))
+             donate_argnames=("state", "carry", "comp"))
     def run_batch(state: FlowState, carry: StepCarry, static: DomainStatic,
-                  sync_time, n_steps: int):
+                  sync_time, comp, n_steps: int):
         # n_steps counts exchange windows here (window steps each).
         st = tuple(state)
         for _ in range(n_steps):
-            st, carry = sharded(st, carry, tuple(static), sync_time)
-        return FlowState(*st), carry
+            st, carry, comp = sharded(st, carry, tuple(static), sync_time,
+                                      comp)
+        return FlowState(*st), carry, comp
 
     return run_batch

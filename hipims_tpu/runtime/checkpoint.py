@@ -33,9 +33,9 @@ def save_checkpoint(path, sim):
         logical_rows=sim.domain.logical_rows,
         logical_cols=sim.domain.logical_cols,
         duration=sim.config.duration,
+        datum=getattr(sim.domain, "datum", 0.0),
     )
-    np.savez_compressed(
-        path,
+    arrays = dict(
         meta=json.dumps(meta),
         z=np.asarray(sim.state.z),
         zmax=np.asarray(sim.state.zmax),
@@ -48,6 +48,11 @@ def save_checkpoint(path, sim):
         batch_successful=np.asarray(sim.carry.batch_successful),
         batch_skipped=np.asarray(sim.carry.batch_skipped),
     )
+    if getattr(sim, "comp", None) is not None:
+        # Compensated-f32 residue plane — without it a resume would
+        # restart the rounding error from zero (harmless but inexact).
+        arrays["comp"] = np.asarray(sim.comp)
+    np.savez_compressed(path, **arrays)
 
 
 def load_checkpoint(path, sim):
@@ -67,12 +72,22 @@ def load_checkpoint(path, sim):
         if meta["scheme"] != sim.config.scheme:
             raise ValueError(f"checkpoint scheme '{meta['scheme']}' != "
                              f"'{sim.config.scheme}'")
+        ck_datum = meta.get("datum", 0.0)
+        if ck_datum != getattr(sim.domain, "datum", 0.0):
+            raise ValueError(
+                f"checkpoint datum {ck_datum} != simulation datum "
+                f"{getattr(sim.domain, 'datum', 0.0)} (precision modes "
+                "with different datum shifts cannot resume each other)")
         dt_arr = jnp.asarray
         sim.state = FlowState(
             z=dt_arr(data["z"], dtype=sim.dtype),
             zmax=dt_arr(data["zmax"], dtype=sim.dtype),
             qx=dt_arr(data["qx"], dtype=sim.dtype),
             qy=dt_arr(data["qy"], dtype=sim.dtype))
+        if getattr(sim, "compensated", False):
+            sim.comp = (dt_arr(data["comp"], dtype=sim.dtype)
+                        if "comp" in data
+                        else jnp.zeros_like(sim.state.z))
         sim.carry = StepCarry(
             t=dt_arr(data["t"], dtype=sim.dtype),
             dt=dt_arr(data["dt"], dtype=sim.dtype),
@@ -86,4 +101,6 @@ def load_checkpoint(path, sim):
             gs = grid_sharding(sim.mesh)
             sim.state = FlowState(*(jax.device_put(a, gs)
                                     for a in sim.state))
+            if getattr(sim, "comp", None) is not None:
+                sim.comp = jax.device_put(sim.comp, gs)
     return sim

@@ -23,8 +23,13 @@ VALUE_NAMES = ("depth", "maxdepth", "fsl", "maxfsl", "velocityx",
                "manningcoefficient")
 
 
-def derive_field(value: str, state, static, resolution: float) -> np.ndarray:
-    """Compute one output field (domain orientation) with nodata masking."""
+def derive_field(value: str, state, static, resolution: float,
+                 datum: float = 0.0) -> np.ndarray:
+    """Compute one output field (domain orientation) with nodata masking.
+
+    ``datum`` is the vertical shift removed from device-side elevations
+    (Domain.build datum_shift); absolute-elevation outputs (fsl, maxfsl,
+    dem) add it back in float64 here."""
     value = value.strip().lower()
     z = np.asarray(state.z, dtype=np.float64)
     zmax = np.asarray(state.zmax, dtype=np.float64)
@@ -40,10 +45,10 @@ def derive_field(value: str, state, static, resolution: float) -> np.ndarray:
         out = np.maximum(0.0, zmax - zb)
         out[(out < _EPS) | (out <= -9990.0) | (out >= 9999.0)] = NODATA
     elif value == "fsl":
-        out = z.copy()
+        out = z + datum
         out[(z < zb + _EPS) | (zb > 9999.0)] = NODATA
     elif value == "maxfsl":
-        out = zmax.copy()
+        out = zmax + datum
         out[(zmax < zb + _EPS) | (zb > 9999.0)] = NODATA
     elif value == "velocityx":
         out = np.where(h > _EPS, qx / np.where(h > _EPS, h, 1.0), NODATA)
@@ -58,7 +63,8 @@ def derive_field(value: str, state, static, resolution: float) -> np.ndarray:
         vel = np.hypot(qx / hs, qy / hs)
         out = np.where(h > _EPS, vel / np.sqrt(C.GRAVITY * hs), NODATA)
     elif value == "dem":
-        out = zb.copy()
+        out = zb + datum
+        out[zb > 9999.0] = C.CLOSED_EDGE_ELEVATION
     elif value == "manningcoefficient":
         out = np.asarray(static.manning, dtype=np.float64).copy()
     else:
@@ -95,7 +101,8 @@ class GaugeOutputWriter:
 
     def __call__(self, sim, t: float):
         field = derive_field(self.value, sim.state_logical,
-                             sim.static_logical, sim.domain.dx)
+                             sim.static_logical, sim.domain.dx,
+                             datum=getattr(sim.domain, "datum", 0.0))
         vals = [field[r, c] for r, c in self.cells]
         vals = [0.0 if v == NODATA else v for v in vals]
         with open(self.target_path, "a") as f:
@@ -148,7 +155,8 @@ class RasterOutputWriter:
         from pathlib import Path
         for tgt in self.targets:
             field = derive_field(tgt["value"], sim.state_logical,
-                                 sim.static_logical, sim.domain.dx)
+                                 sim.static_logical, sim.domain.dx,
+                                 datum=getattr(sim.domain, "datum", 0.0))
             name = tgt["target"].replace("%t", time_label(t))
             raster = Raster.from_domain_array(
                 field, xll=self.domain.xll, yll=self.domain.yll,

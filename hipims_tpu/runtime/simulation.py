@@ -50,7 +50,12 @@ class SimulationConfig:
     fixed_timestep: float = 0.1
     friction: bool = True
     dry_threshold: float = C.VERY_SMALL
-    dtype: str = "float64"              # "float32" | "float64"
+    dtype: str = "float64"              # "float32" | "float64" | "float32c"
+                                        # float32c = f32 state + Neumaier-
+                                        # compensated z accumulation, the
+                                        # TPU-native answer to the
+                                        # reference's 64-bit requirement
+                                        # (see ops/compensated.py)
     batch_size: int = 64                # steps per device round-trip
     batch_auto: bool = True             # adapt batch toward target seconds
     batch_target_seconds: float = 0.5
@@ -85,6 +90,7 @@ class Simulation:
             jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.dtype = dtype
+        self.compensated = config.dtype == "float32c"
 
         # Kernel backend: the fused Pallas stencil runs the whole step +
         # CFL reduce in VMEM (f32, single device, aligned grids); everything
@@ -94,22 +100,28 @@ class Simulation:
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             # All three schemes run the Pallas backend on a single TPU chip
-            # in f32; MUSCL-Hancock uses the two-kernel split (the fully
-            # fused variant overwhelms the Mosaic compiler).
+            # in f32/f32c; MUSCL-Hancock uses the two-kernel split (the
+            # fully fused variant overwhelms the Mosaic compiler).
             backend = ("pallas" if (on_tpu and mesh is None
-                                    and config.dtype == "float32")
+                                    and config.dtype in ("float32",
+                                                         "float32c"))
                        else "xla")
         if backend == "pallas":
             domain.pad_for_tiles()
         # Closed-edge walls span the scheme's full static ring so closed
         # domains conserve mass exactly (see Domain.apply_edge_treatment).
+        # Single-precision modes shift the vertical datum out of the
+        # arithmetic (Domain.build docstring); f64 stays absolute.
         self.state, self.static = domain.build(
-            dtype=dtype, edge_wall_width=self.scheme.radius)
+            dtype=dtype, edge_wall_width=self.scheme.radius,
+            datum_shift=(config.dtype != "float64"))
         if backend == "pallas" and not _pallas.supports(
                 domain.rows, domain.cols, scheme=self.scheme.name):
             backend = "xla"
         self.backend = backend
         self.carry = initial_carry(dtype, dt0=config.initial_timestep)
+        self.comp = (jnp.zeros_like(self.state.z) if self.compensated
+                     else None)
         if mesh is not None:
             # 2-D grid sharding; XLA inserts the halo collectives for the
             # stencil shifts and all-reduces the CFL max (the TPU analogue
@@ -117,12 +129,16 @@ class Simulation:
             from ..parallel.mesh import shard_simulation_arrays
             self.state, self.static = shard_simulation_arrays(
                 mesh, self.state, self.static)
+            if self.comp is not None:
+                from ..parallel.mesh import grid_sharding
+                self.comp = jax.device_put(self.comp, grid_sharding(mesh))
 
         self.params = SchemeParams(
             dx=domain.dx, dy=domain.dy,
             very_small=config.dry_threshold,
             quite_small=config.dry_threshold * 10.0,
-            friction=config.friction)
+            friction=config.friction,
+            datum=domain.datum)
         self.ts_params = TimestepParams(
             courant=config.courant,
             dynamic=(config.timestep_mode == "cfl"),
@@ -139,7 +155,8 @@ class Simulation:
                 mesh, self.scheme, self.params, self.ts_params,
                 self.boundaries, self.config.duration,
                 config.forecast_window,
-                domain.logical_rows, domain.logical_cols)
+                domain.logical_rows, domain.logical_cols,
+                compensated=self.compensated)
             self._steps_per_unit = config.forecast_window
         else:
             self._run_batch = self._build_run_batch()
@@ -165,54 +182,66 @@ class Simulation:
             from ..ops.pallas.muscl_split import muscl_step_pallas_split
 
         @partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnames=("state", "carry"))
+                 donate_argnames=("state", "carry", "comp"))
         def run_batch(state: FlowState, carry: StepCarry,
-                      static: DomainStatic, sync_time, n_steps: int):
+                      static: DomainStatic, sync_time, comp, n_steps: int):
             def body(sc, _):
-                state, carry = sc
-                state = apply_boundaries(boundaries_static, state, static,
-                                         carry.t, carry.dt, carry.t_hydro,
-                                         params)
+                state, carry, comp = sc
+                bout = apply_boundaries(boundaries_static, state, static,
+                                        carry.t, carry.dt, carry.t_hydro,
+                                        params, comp=comp)
+                state, comp = bout if comp is not None else (bout, None)
                 if use_pallas:
                     if scheme_name == "muscl-hancock":
                         # The fully-fused MUSCL kernel overwhelms the
                         # Mosaic compiler; use the two-kernel split.
-                        state, speed = muscl_step_pallas_split.__wrapped__(
+                        out = muscl_step_pallas_split.__wrapped__(
                             state, static, carry.dt, params, None, False,
-                            logical[0], logical[1], muscl_variant)
+                            logical[0], logical[1], muscl_variant, comp)
                     else:
-                        state, speed = stencil_step_pallas.__wrapped__(
+                        out = stencil_step_pallas.__wrapped__(
                             scheme_name, state, static, carry.dt, params,
                             ts_params.simplified_speed, None, False,
-                            logical[0], logical[1])
+                            logical[0], logical[1], comp)
+                    if comp is None:
+                        state, speed = out
+                    else:
+                        state, speed, comp = out
                 else:
-                    state = scheme_step(state, static, carry.dt, params)
+                    sout = scheme_step(state, static, carry.dt, params,
+                                       comp=comp) if comp is not None \
+                        else scheme_step(state, static, carry.dt, params)
+                    state, comp = sout if comp is not None else (sout, None)
                     speed = max_wave_speed(state.z, state.zmax, state.qx,
                                            state.qy, static.zb,
                                            params.quite_small,
                                            ts_params.simplified_speed)
                 carry = advance(carry, speed, sync_time, end_time,
                                 params.dx, ts_params)
-                return (state, carry), None
+                return (state, carry, comp), None
 
-            (state, carry), _ = jax.lax.scan(body, (state, carry),
-                                             length=n_steps)
-            return state, carry
+            (state, carry, comp), _ = jax.lax.scan(
+                body, (state, carry, comp), length=n_steps)
+            return state, carry, comp
 
         return run_batch
 
     # ------------------------------------------------------------------
     def run_to(self, target_time: float, progress: Optional[Callable] = None):
         """Advance the simulation until the clock reaches target_time."""
-        tol = self.config.sync_tolerance
+        # The simulation clock carries the state dtype; a non-representable
+        # target can only be matched to ~ulp(t), so the match tolerance
+        # scales with the clock magnitude in f32 runs.
+        eps = float(jnp.finfo(self.dtype).eps)
+        tol = max(self.config.sync_tolerance, 8.0 * eps * abs(target_time))
         sync = jnp.asarray(target_time, dtype=self.dtype)
         while True:
             t_now = float(self.carry.t)
             if t_now >= target_time - tol:
                 break
             t0 = time.perf_counter()
-            self.state, self.carry = self._run_batch(
-                self.state, self.carry, self.static, sync,
+            self.state, self.carry, self.comp = self._run_batch(
+                self.state, self.carry, self.static, sync, self.comp,
                 n_steps=self._batch_size)
             # One host sync per batch (reference: readKeyStatistics).
             t_new = float(self.carry.t)

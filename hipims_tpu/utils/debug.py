@@ -39,8 +39,9 @@ def trace_cell(sim, row: int, col: int, n_steps: int) -> CellTrace:
         import jax.numpy as jnp
         sync = jnp.asarray(sim.config.duration, dtype=sim.dtype)
         for _ in range(n_steps):
-            sim.state, sim.carry = sim._run_batch(
-                sim.state, sim.carry, sim.static, sync, n_steps=1)
+            sim.state, sim.carry, sim.comp = sim._run_batch(
+                sim.state, sim.carry, sim.static, sync, sim.comp,
+                n_steps=1)
             tr.t.append(float(sim.carry.t))
             tr.dt.append(float(sim.carry.dt))
             tr.z.append(float(sim.state.z[row, col]))

@@ -1,0 +1,193 @@
+"""Single-precision accuracy machinery vs the float64 oracle.
+
+The reference's papers mandate 64-bit arithmetic: at 32-bit, per-step
+surface increments fall below ulp(z) at real elevation datums, rainfall is
+absorbed outright, and depth errors exceed 0.1 m (BASELINE.md accuracy
+anchors; reference docs/papers/urban-flood-jhi tex:271, 338-339).  The TPU
+rebuild answers with two composable mechanisms instead of emulated f64:
+
+  1. a whole-domain vertical **datum shift** (Domain.build datum_shift) —
+     removes the absolute elevation from the arithmetic, the whole-domain
+     generalisation of the reference kernels' per-face datum shift;
+  2. **compensated accumulation** of z ("float32c", ops/compensated.py) —
+     preserves sub-ulp increments relative to the remaining RELIEF, which
+     no constant shift can remove.
+
+These tests reproduce the papers' failure modes and verify each mechanism.
+"""
+
+import numpy as np
+import pytest
+
+from hipims_tpu.domain import Domain
+from hipims_tpu.ops.boundaries import UniformBoundary
+from hipims_tpu.ops.compensated import comp_add
+from hipims_tpu.runtime import Simulation, SimulationConfig
+
+DATUM = 1000.0   # ulp(f32) at 1000 m is 6.1e-5 m — above sub-mm increments
+
+
+def test_comp_add_recovers_sub_ulp_increments():
+    """A run of tiny additions that plain f32 absorbs completely."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jnp.asarray(DATUM, dtype=jnp.float32)
+    inc = jnp.asarray(1e-6, dtype=jnp.float32)     # << ulp(1000) = 6.1e-5
+
+    # Plain f32: the sum never moves.
+    plain = base
+    for _ in range(100):
+        plain = plain + inc
+    assert float(plain) == float(base)
+
+    n = 100_000
+    z, comp = jax.lax.fori_loop(
+        0, n, lambda _, zc: comp_add(zc[0], zc[1], inc),
+        (base, jnp.zeros_like(base)))
+    true = DATUM + n * 1e-6
+    assert float(z) + float(comp) == pytest.approx(true, abs=1e-6)
+    # The visible value itself is the correctly rounded running sum.
+    assert float(z) == pytest.approx(true, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mechanism 2: compensation preserves rainfall against RELIEF.
+# ---------------------------------------------------------------------------
+
+PLATEAU = 400.0       # relief above the domain minimum; ulp(400) = 3.05e-5
+
+
+def plateau_basin(n=32):
+    """A DRY plateau at +400 m relief with a single 0 m pit pinning the
+    datum minimum: the shift is a no-op, the plateau keeps a coarse ulp,
+    and with no initial water there is no flow in any precision — rain
+    accumulation is the only dynamics."""
+    zb = np.full((n, n), PLATEAU)
+    zb[1, 1] = 0.0                     # datum pin
+    dom = Domain(zb=zb, manning=0.03, dx=2.0, dy=2.0)
+    dom.set_initial_depth(0.0)
+    return dom
+
+
+def _run_rain(dtype, duration=600.0, rate_mm_hr=25.0, n=32):
+    # Fixed 0.1 s timestep: the hydrological gate fires at t_hydro ~ 1.1 s,
+    # applying ~7.6e-6 m of rain per window — below half-ulp on the
+    # plateau, captured exactly in the pit — while keeping the ulp-lumpy
+    # thin-film dynamics deep inside the CFL envelope.  (CFL mode on a dry
+    # domain would reach dt = 15 s and sneak above the plateau's ulp.)
+    cfg = SimulationConfig(scheme="godunov", duration=duration,
+                           output_frequency=duration, dtype=dtype,
+                           batch_size=64, timestep_mode="fixed",
+                           fixed_timestep=0.1)
+    rain = UniformBoundary(values=np.full(64, rate_mm_hr),
+                           interval=60.0, length=duration * 2,
+                           is_loss=False)
+    sim = Simulation(plateau_basin(n), cfg, boundaries=[rain])
+    vol0 = sim.volume()
+    sim.run()
+    return sim, sim.volume() - vol0
+
+
+def test_rainfall_on_relief_lost_f32_kept_f32c():
+    """The paper's mass-conservation failure (urban-flood-jhi tex:338):
+    sub-ulp rain increments on the high-relief plateau are absorbed by
+    plain f32; the compensation plane preserves the full budget."""
+    duration, rate = 600.0, 25.0
+    sim64, gain64 = _run_rain("float64", duration, rate)
+    n = sim64.domain.logical_rows
+    n_enabled = (n - 2) ** 2             # all interior cells
+    expected = (rate / 3.6e6) * duration * n_enabled \
+        * sim64.domain.dx * sim64.domain.dy
+    # The first hydrological window and the trailing partial window are
+    # gated off (the reference gates identically) — allow ~1%.
+    assert gain64 == pytest.approx(expected, rel=0.02)
+
+    _, gain32 = _run_rain("float32", duration, rate)
+    _, gain32c = _run_rain("float32c", duration, rate)
+
+    # Plain f32 keeps essentially only the pit cell's rain.
+    assert gain32 < 0.1 * gain64
+    # Compensated f32 keeps the budget.  The residual (~7% here) is NOT a
+    # compensation error: the rain influx itself balances to <0.5%, but
+    # the ulp-quantised visible surface forms micro wet/dry fronts whose
+    # one-sided stopping flags (a reference semantic, CLSchemeGodunov.clc
+    # reconstructInterface) carry the scheme's known front mass error —
+    # amplified by this adversarial h ~ ulp(relief) film draining over a
+    # 400 m cliff.  Realistic runs keep h >> ulp and do not see it.
+    assert gain32c == pytest.approx(gain64, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Mechanism 1: the datum shift keeps dynamics at f64-class accuracy.
+# ---------------------------------------------------------------------------
+
+def dam_domain(n=49, datum=DATUM, dx=2.0):
+    zb = np.full((n, n), datum)
+    dom = Domain(zb=zb, manning=0.03, dx=dx, dy=dx)
+    yy, xx = np.mgrid[0:n, 0:n]
+    r = np.hypot((yy - n // 2) * dx, (xx - n // 2) * dx)
+    dom.set_initial_depth(np.where(r <= n * dx / 6.0, 0.6, 0.15))
+    return dom
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock"])
+def test_dam_break_at_datum_matches_f64(scheme):
+    """Depth-field accuracy at a 1000 m datum.  Without the shift, f32
+    z*z pressure terms carry ~1% noise (ulp(1e6) = 0.0625) and the mean
+    depth error lands at ~0.02 m; with it, both f32 modes sit orders of
+    magnitude inside the papers' <0.01 m anchor."""
+    def run(dtype):
+        cfg = SimulationConfig(scheme=scheme, duration=40.0,
+                               output_frequency=40.0, dtype=dtype,
+                               batch_size=32)
+        sim = Simulation(dam_domain(), cfg)
+        sim.run()
+        return sim.depth(), sim
+
+    h64, _ = run("float64")
+    h32, sim32 = run("float32")
+    h32c, sim32c = run("float32c")
+    assert sim32.domain.datum == DATUM          # shift engaged
+    assert sim32.total_steps > 50
+
+    err32 = float(np.abs(h32 - h64).mean())
+    err32c = float(np.abs(h32c - h64).mean())
+    # BASELINE.md anchor: mean depth error < 0.01 m (the reference's f32
+    # breaks this; measured here ~1e-7 with the shift, ~2e-2 without).
+    assert err32 < 1e-3
+    assert err32c < 1e-3
+    # Outputs report absolute elevations despite the internal shift.
+    from hipims_tpu.runtime.output import derive_field
+    fsl = derive_field("fsl", sim32c.state_logical, sim32c.static_logical,
+                       sim32c.domain.dx, datum=sim32c.domain.datum)
+    wet = fsl != -9999.0
+    assert wet.any() and float(fsl[wet].min()) > DATUM
+
+
+def test_compensated_simulation_plumbing():
+    """float32c threads the residue plane through run/checkpoint."""
+    import jax.numpy as jnp
+
+    cfg = SimulationConfig(scheme="godunov", duration=5.0,
+                           output_frequency=5.0, dtype="float32c",
+                           batch_size=8)
+    sim = Simulation(dam_domain(n=33), cfg)
+    assert sim.compensated and sim.comp is not None
+    assert sim.comp.dtype == jnp.float32
+    sim.run()
+    assert float(np.abs(np.asarray(sim.comp)).max()) > 0.0
+
+    # Checkpoint round-trip carries the residue.
+    from hipims_tpu.runtime.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        save_checkpoint(p, sim)
+        sim2 = Simulation(dam_domain(n=33), cfg)
+        load_checkpoint(p, sim2)
+        np.testing.assert_array_equal(np.asarray(sim2.comp),
+                                      np.asarray(sim.comp))
+        np.testing.assert_array_equal(np.asarray(sim2.state.z),
+                                      np.asarray(sim.state.z))

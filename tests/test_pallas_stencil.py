@@ -129,3 +129,74 @@ def test_muscl_variants_equivalent():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-13, atol=1e-15, err_msg=name)
     assert float(sa) == pytest.approx(float(sb), rel=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# Compensated-f32 plane through the fused kernels (see ops/compensated.py).
+# ---------------------------------------------------------------------------
+
+def _f32_domain(seed, rows=32, cols=128):
+    z, zmax, qx, qy, zb, n = random_domain(seed, rows=rows, cols=cols)
+    f32 = lambda a: np.asarray(a, dtype=np.float32)  # noqa: E731
+    state = FlowState(f32(z), f32(zmax), f32(qx), f32(qy))
+    static = DomainStatic(zb=f32(zb), manning=f32(n))
+    return state, static
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "inertial"])
+def test_pallas_compensated_matches_xla(scheme):
+    """Multi-step comp accumulation: Pallas comp plane == XLA comp path."""
+    from hipims_tpu.models import get_scheme
+    from hipims_tpu.ops.pallas.stencil import stencil_step_pallas
+
+    state, static = _f32_domain(11)
+    sch = get_scheme(scheme)
+    dt = np.float32(0.05)
+
+    want, want_comp = state, np.zeros_like(np.asarray(state.z))
+    got, got_comp = state, np.zeros_like(np.asarray(state.z))
+    for _ in range(4):
+        want, want_comp = sch.step(want, static, dt, SchemeParams(2.0, 2.0),
+                                   comp=want_comp)
+        got, speed, got_comp = stencil_step_pallas(
+            scheme, got, static, dt, SchemeParams(2.0, 2.0),
+            simplified_speed=sch.simplified_speed, tile_rows=8,
+            interpret=True, comp=got_comp)
+    # f32 interpret-mode fusion differs from XLA by an ulp or two; the
+    # invariant that must match tightly is the TRUE surface z + comp.
+    for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    true_g = np.asarray(got.z, np.float64) + np.asarray(got_comp, np.float64)
+    true_w = np.asarray(want.z, np.float64) + np.asarray(want_comp,
+                                                         np.float64)
+    np.testing.assert_allclose(true_g, true_w, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["split12", "recompute"])
+# An ulp-level z difference can flip a limiter/stopping branch and grow a
+# localized O(1e-6) state difference over the multi-step accumulation —
+# plumbing errors would diverge wholesale, so the tolerance stays loose.
+def test_muscl_split_compensated_matches_whole(variant):
+    from hipims_tpu.models import get_scheme
+    from hipims_tpu.ops.pallas.muscl_split import muscl_step_pallas_split
+
+    state, static = _f32_domain(12)
+    sch = get_scheme("muscl-hancock")
+    dt = np.float32(0.05)
+
+    want, want_comp = state, np.zeros_like(np.asarray(state.z))
+    got, got_comp = state, np.zeros_like(np.asarray(state.z))
+    for _ in range(3):
+        want, want_comp = sch.step(want, static, dt, SchemeParams(2.0, 2.0),
+                                   comp=want_comp)
+        got, speed, got_comp = muscl_step_pallas_split(
+            got, static, dt, SchemeParams(2.0, 2.0), tile_rows=8,
+            interpret=True, variant=variant, comp=got_comp)
+    for g, w, name in zip(got, want, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+    true_g = np.asarray(got.z, np.float64) + np.asarray(got_comp, np.float64)
+    true_w = np.asarray(want.z, np.float64) + np.asarray(want_comp,
+                                                         np.float64)
+    np.testing.assert_allclose(true_g, true_w, rtol=1e-6, atol=1e-6)
