@@ -75,8 +75,10 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
 def main():
     import jax
 
-    rows = int(os.environ.get("BENCH_ROWS", 1408))
-    cols = int(os.environ.get("BENCH_COLS", 1408))
+    # 2816^2 = 7.9 M cells (Thamesmead scale): the amortised regime where
+    # per-pallas_call overhead no longer caps the rate (docs/ROOFLINE.md).
+    rows = int(os.environ.get("BENCH_ROWS", 2816))
+    cols = int(os.environ.get("BENCH_COLS", 2816))
     steps = int(os.environ.get("BENCH_STEPS", 200))
     scheme = os.environ.get("BENCH_SCHEME", "muscl-hancock")
     # The split Pallas MUSCL kernels compile in ~30 s on the TPU relay and

@@ -30,6 +30,10 @@ def parse_args(argv=None):
                          "reference's deviceFilter")
     ap.add_argument("--mesh-shape", default=None,
                     help="explicit mesh shape, e.g. 2x4")
+    ap.add_argument("--distributed", default=None, metavar="SPEC",
+                    help="multi-host init: 'env' (TPU pods — everything "
+                         "from the environment) or "
+                         "'coordinator:port,num_processes,process_id'")
     return ap.parse_args(argv)
 
 
@@ -40,11 +44,25 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    coordinator = True
+    if args.distributed is not None:
+        # Multi-host SPMD: every process runs this same program; only the
+        # coordinator logs and writes outputs (reference: rank-0-only
+        # console under --mpi-mode, src/main.cpp:561-578).
+        from .parallel.distributed import initialize_cluster, is_coordinator
+        if args.distributed.strip().lower() == "env":
+            initialize_cluster()
+        else:
+            addr, n_proc, proc_id = args.distributed.split(",")
+            initialize_cluster(addr.strip(), int(n_proc), int(proc_id))
+        coordinator = is_coordinator()
+
     from .io.xml_config import load_config
     from .utils.logging import Logger
     from .runtime.progress import ProgressReporter
 
-    log = Logger(path=args.log_file, quiet=args.quiet_mode)
+    log = Logger(path=args.log_file if coordinator else None,
+                 quiet=args.quiet_mode or not coordinator)
     log.block("Model configuration")
     try:
         model = load_config(args.config_file)
@@ -78,7 +96,12 @@ def main(argv=None):
     except ValueError as e:
         log.error(f"Invalid model configuration: {e}")
         return 1
-    reporter = ProgressReporter(log, sim, quiet=args.quiet_mode)
+    if not coordinator:
+        # Non-coordinator processes compute their shards but must not
+        # double-write rasters (state gathers land on every host).
+        sim.output_writer = None
+    reporter = ProgressReporter(log, sim, quiet=args.quiet_mode
+                                or not coordinator)
 
     log.block("Simulation")
     t0 = time.monotonic()

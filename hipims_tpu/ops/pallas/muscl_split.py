@@ -104,7 +104,8 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 
 def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
-                      logical_rows, logical_cols, compensated=False):
+                      logical_rows, logical_cols, compensated=False,
+                      speed_window=None):
     n_in = 6 + N_PRED + (1 if compensated else 0)
     n_out = 4 + (1 if compensated else 0)
     ins = refs[:n_in]
@@ -166,6 +167,15 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
     spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
     spd = jnp.where(wet, spd, 0.0)
+    if speed_window is not None:
+        # Mesh mode: only this device's OWN cells feed the CFL max (see
+        # ops/pallas/stencil.py).
+        r0, nr, c0, nc = speed_window
+        srows = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 0) + t * tr
+        scols = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 1)
+        own = ((srows >= r0) & (srows < r0 + nr)
+               & (scols >= c0) & (scols < c0 + nc))
+        spd = jnp.where(own, spd, 0.0)
     speed_ref[t, 0] = jnp.max(spd)
 
     pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
@@ -210,7 +220,7 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
                                 cols, logical_rows, logical_cols,
-                                compensated=False):
+                                compensated=False, speed_window=None):
     """Corrector that re-derives the limited slopes from the original
     state (DMA'd with the standard aligned halo) instead of loading the 8
     slope planes from HBM — bitwise-identical faces, ~40 B/cell less HBM
@@ -314,6 +324,15 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
     spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
     spd = jnp.where(wet, spd, 0.0)
+    if speed_window is not None:
+        # Mesh mode: only this device's OWN cells feed the CFL max (see
+        # ops/pallas/stencil.py).
+        r0, nr, c0, nc = speed_window
+        srows = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 0) + t * tr
+        scols = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 1)
+        own = ((srows >= r0) & (srows < r0 + nr)
+               & (scols >= c0) & (scols < c0 + nc))
+        spd = jnp.where(own, spd, 0.0)
     speed_ref[t, 0] = jnp.max(spd)
 
     pipeline_epilogue(outs, out_scr, sem_out, t, n_tiles, tr, slot, nslot)
@@ -321,11 +340,12 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
 
 @functools.partial(jax.jit, static_argnames=(
     "params", "tile_rows", "interpret", "logical_rows", "logical_cols",
-    "variant"))
+    "variant", "speed_window"))
 def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                             params: SchemeParams, tile_rows=None,
                             interpret: bool = False, logical_rows=None,
-                            logical_cols=None, variant=None, comp=None):
+                            logical_cols=None, variant=None, comp=None,
+                            speed_window=None):
     """Fused two-kernel MUSCL step + CFL reduce.  Returns
     (new_state, max_wave_speed), plus the updated compensation plane when
     ``comp`` (compensated-f32 z accumulation) is given — the residue only
@@ -384,7 +404,8 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     ck = functools.partial(corr_fn, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols,
                            logical_rows=lr, logical_cols=lc,
-                           compensated=compensated)
+                           compensated=compensated,
+                           speed_window=speed_window)
     n_in = 6 + n_pred + (1 if compensated else 0)
     n_out = 4 + (1 if compensated else 0)
     corr_inputs = [dt_arr, state.z, state.zmax, state.qx, state.qy,

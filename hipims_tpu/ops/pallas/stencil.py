@@ -215,7 +215,7 @@ def supports(rows: int, cols: int, tile_rows=None,
 def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
             tile_rows: int, rows: int, cols: int, logical_rows: int,
             logical_cols: int, simplified_speed: bool,
-            compensated: bool = False):
+            compensated: bool = False, speed_window=None):
     interior_fn, radius, _ = INTERIOR[scheme]
     n_in = N_IN + (1 if compensated else 0)   # + comp plane
     n_out = N_OUT + (1 if compensated else 0)
@@ -290,6 +290,17 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     else:
         spd = jnp.maximum(jnp.abs(qxf), jnp.abs(qyf)) / h_safe + cel
     spd = jnp.where(wet, spd, 0.0)
+    if speed_window is not None:
+        # Under a mesh the local block is halo-extended; only this
+        # device's OWN cells may contribute to the global CFL max, so the
+        # sharded dt matches the single-device run exactly (the XLA
+        # halo-deep path masks identically; parallel/halo_deep.py).
+        r0, nr, c0, nc = speed_window
+        srows = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 0) + t * tr
+        scols = jax.lax.broadcasted_iota(jnp.int32, spd.shape, 1)
+        own = ((srows >= r0) & (srows < r0 + nr)
+               & (scols >= c0) & (scols < c0 + nc))
+        spd = jnp.where(own, spd, 0.0)
     speed_ref[t, 0] = jnp.max(spd)
 
     # ---- write back (async; drained two tiles later / at the end) --------
@@ -298,7 +309,7 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
 
 @functools.partial(jax.jit, static_argnames=(
     "scheme", "params", "simplified_speed", "tile_rows", "interpret",
-    "logical_rows", "logical_cols"))
+    "logical_rows", "logical_cols", "speed_window"))
 def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
                         dt, params: SchemeParams,
                         simplified_speed: bool = False,
@@ -306,7 +317,8 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
                         interpret: bool = False,
                         logical_rows=None,
                         logical_cols=None,
-                        comp=None):
+                        comp=None,
+                        speed_window=None):
     """Fused step + CFL reduce for any scheme.  Returns
     (new_state, max_wave_speed), or (new_state, max_wave_speed, comp_new)
     when ``comp`` (the compensated-f32 z residue plane) is given — the
@@ -330,7 +342,8 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         _kernel, scheme=scheme, params=params, tile_rows=tile_rows,
         rows=rows, cols=cols,
         logical_rows=logical_rows or rows, logical_cols=logical_cols or cols,
-        simplified_speed=simplified_speed, compensated=compensated)
+        simplified_speed=simplified_speed, compensated=compensated,
+        speed_window=speed_window)
 
     dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
 

@@ -28,16 +28,36 @@ import jax
 def initialize_cluster(coordinator_address=None, num_processes=None,
                        process_id=None):
     """Initialise jax.distributed; on TPU pods all arguments come from the
-    environment.  Safe to call when already initialised or single-process
-    (returns False in that case)."""
+    environment.  Returns True on success; already-initialised is treated
+    as success, any other failure propagates (a half-initialised cluster
+    must not silently fall back to single-host)."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
         return True
-    except (RuntimeError, ValueError):
-        return False
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return True
+        raise
+
+
+def gather_to_host(array):
+    """Materialise a (possibly cross-process sharded) global array as a
+    host numpy array on EVERY process.
+
+    The reference streams link/progress data to rank 0 over MPI
+    (src/MPI/CMPIManager.cpp:468-550); here a single allgather over the
+    global sharding does the equivalent for outputs.  Single-process
+    arrays pass through at zero cost."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+    return np.asarray(
+        multihost_utils.process_allgather(array, tiled=True))
 
 
 def host_summary() -> dict:

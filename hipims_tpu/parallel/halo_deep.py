@@ -50,40 +50,71 @@ def _exchange_extend(arr, pad, axis_name, axis_size):
     return jnp.concatenate([from_below, arr, from_above], axis=0)
 
 
-def _extend2d(arr, pad, py, px):
+def _extend2d(arr, pad_r, pad_c, py, px):
     """Two-phase halo gather: rows (my) then columns (mx) of the already
-    row-extended array, which transports the corners for free."""
+    row-extended array, which transports the corners for free.  Row and
+    column pads may differ (the Pallas backend aligns them to the DMA
+    tile contract)."""
     out = arr
     if py > 1:
-        out = _exchange_extend(out, pad, "my", py)
+        out = _exchange_extend(out, pad_r, "my", py)
     else:
-        z = jnp.zeros((pad,) + out.shape[1:], out.dtype)
+        z = jnp.zeros((pad_r,) + out.shape[1:], out.dtype)
         out = jnp.concatenate([z, out, z], axis=0)
     out = jnp.swapaxes(out, 0, 1)
     if px > 1:
-        out = _exchange_extend(out, pad, "mx", px)
+        out = _exchange_extend(out, pad_c, "mx", px)
     else:
-        z = jnp.zeros((pad,) + out.shape[1:], out.dtype)
+        z = jnp.zeros((pad_c,) + out.shape[1:], out.dtype)
         out = jnp.concatenate([z, out, z], axis=0)
     return jnp.swapaxes(out, 0, 1)
+
+
+def halo_pads(window: int, radius: int, backend: str = "xla"):
+    """(pad_r, pad_c) halo depths for one exchange window.
+
+    +1: the outermost extended ring never updates and skips boundary
+    forcing, so it must sit one ring beyond the needed validity depth.
+    The Pallas backend rounds the pads up to the DMA alignment contract
+    (extended rows stay 8-aligned when the local block is, extended
+    columns stay 128-aligned): pad_r to a multiple of 4, pad_c to a
+    multiple of 64 (ops/pallas/stencil.py alignment notes)."""
+    need = window * radius + 1
+    if backend != "pallas":
+        return need, need
+    pad_r = -(-need // 4) * 4
+    pad_c = -(-need // 64) * 64
+    return pad_r, pad_c
 
 
 def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                           ts_params: TimestepParams,
                           boundaries: Sequence, end_time: float,
                           window: int, logical_rows: int, logical_cols: int,
-                          compensated: bool = False):
+                          compensated: bool = False,
+                          backend: str = "xla",
+                          interpret: bool = False,
+                          muscl_variant=None):
     """Jitted runner: (state, carry, static, sync_time, comp, n_windows) ->
     (state, carry, comp), executing ``window`` steps per halo exchange.
     ``comp`` is the compensated-f32 z residue plane (or None); it is halo-
-    exchanged and stepped alongside the state (see ops/compensated.py)."""
+    exchanged and stepped alongside the state (see ops/compensated.py).
+
+    ``backend="pallas"`` runs the fused VMEM kernels on each device's
+    halo-extended local block instead of the XLA step — the reference's
+    link+scheme integration (src/Schemes/CSchemeGodunov.cpp:1235-1334)
+    re-expressed as shard_map(ppermute halos -> fused kernel window); the
+    kernels' own CFL partial max is restricted to owned cells so the
+    lock-step dt is bit-identical to the single-device run."""
     py, px = mesh.devices.shape
     radius = 2 if scheme.name == "muscl-hancock" else 1
-    # +1: the outermost extended ring never updates and skips boundary
-    # forcing, so it must sit one ring beyond the needed validity depth.
-    pad = window * radius + 1
+    pad_r, pad_c = halo_pads(window, radius, backend)
     step_fn = scheme.step
     simplified = ts_params.simplified_speed
+    use_pallas = backend == "pallas"
+    if use_pallas:
+        from ..ops.pallas.muscl_split import muscl_step_pallas_split
+        from ..ops.pallas.stencil import stencil_step_pallas
 
     grid_spec = P("my", "mx")
 
@@ -93,24 +124,30 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
 
         # Global offsets of this device's block.
         r, c = z.shape
+        assert pad_r <= r and pad_c <= c, (
+            f"halo pads ({pad_r}, {pad_c}) exceed the local block "
+            f"({r}x{c}); shrink forecast_window or the mesh")
         oy = jax.lax.axis_index("my") * r
         ox = jax.lax.axis_index("mx") * c
 
         # --- one deep halo exchange per window ------------------------
-        ext = [_extend2d(a, pad, py, px) for a in (z, zmax, qx, qy, zb, n)]
+        ext = [_extend2d(a, pad_r, pad_c, py, px)
+               for a in (z, zmax, qx, qy, zb, n)]
         ez, ezmax, eqx, eqy, ezb, en = ext
-        ecomp = _extend2d(comp, pad, py, px) if compensated else None
+        ecomp = _extend2d(comp, pad_r, pad_c, py, px) if compensated \
+            else None
 
         # Static-ring + out-of-domain mask on the extended block (global
         # index space; zero-filled out-of-mesh halos land outside too).
         er, ec = ez.shape
-        gy = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 0) + (oy - pad)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 1) + (ox - pad)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 0) + (oy - pad_r)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 1) + (ox - pad_c)
         ring = ((gy < radius) | (gy >= logical_rows - radius)
                 | (gx < radius) | (gx >= logical_cols - radius))
 
         est = FlowState(ez, ezmax, eqx, eqy)
         estatic = DomainStatic(ezb, en)
+        speed_window = (pad_r, r, pad_c, c)
 
         def body(sc, _):
             st, cr, cm = sc
@@ -129,28 +166,56 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                              for o, v in zip(st_pre, st)))
             if compensated:
                 cm = jnp.where(ring, cm_pre, cm)
-                new, cm_new = step_fn(st, estatic, cr.dt, params, comp=cm)
-                cm_new = jnp.where(ring, cm, cm_new)
+
+            if use_pallas:
+                # Fused kernel on the extended block.  Its internal ring
+                # mask (logical dims = extended dims) freezes the
+                # outermost radius ring exactly like scheme.step; its
+                # fused CFL partial is masked to owned cells.
+                if scheme.name == "muscl-hancock":
+                    out = muscl_step_pallas_split.__wrapped__(
+                        st, estatic, cr.dt, params, None, interpret,
+                        er, ec, muscl_variant, cm, speed_window)
+                else:
+                    out = stencil_step_pallas.__wrapped__(
+                        scheme.name, st, estatic, cr.dt, params,
+                        simplified, None, interpret, er, ec, cm,
+                        speed_window)
+                if compensated:
+                    new, local_max, cm_new = out
+                    cm_new = jnp.where(ring, cm, cm_new)
+                else:
+                    new, local_max = out
+                    cm_new = None
+                new = FlowState(*(jnp.where(ring, o, v)
+                                  for o, v in zip(st, new)))
             else:
-                new = step_fn(st, estatic, cr.dt, params)
-                cm_new = None
-            new = FlowState(*(jnp.where(ring, o, v)
-                              for o, v in zip(st, new)))
-            # Global lock-step dt: local max speed, then max across the
-            # mesh (the Allreduce(MIN)-on-dt analogue).
-            h = new.z - ezb
-            wet = (h > params.quite_small) & (new.zmax > C.NODATA)
-            hs = jnp.where(wet, h, 1.0)
-            cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
-            if simplified:
-                spd = cel
-            else:
-                spd = jnp.maximum(jnp.abs(new.qx), jnp.abs(new.qy)) / hs \
-                    + cel
-            # Only this device's owned cells count (each cell once).
-            own = ((gy >= oy) & (gy < oy + r) & (gx >= ox) & (gx < ox + c))
-            spd = jnp.where(wet & own, spd, 0.0)
-            local_max = jnp.max(spd)
+                if compensated:
+                    new, cm_new = step_fn(st, estatic, cr.dt, params,
+                                          comp=cm)
+                    cm_new = jnp.where(ring, cm, cm_new)
+                else:
+                    new = step_fn(st, estatic, cr.dt, params)
+                    cm_new = None
+                new = FlowState(*(jnp.where(ring, o, v)
+                                  for o, v in zip(st, new)))
+                # Global lock-step dt: local max speed over owned cells.
+                h = new.z - ezb
+                wet = (h > params.quite_small) & (new.zmax > C.NODATA)
+                hs = jnp.where(wet, h, 1.0)
+                cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+                if simplified:
+                    spd = cel
+                else:
+                    spd = jnp.maximum(jnp.abs(new.qx),
+                                      jnp.abs(new.qy)) / hs + cel
+                # Only this device's owned cells count (each cell once).
+                own = ((gy >= oy) & (gy < oy + r)
+                       & (gx >= ox) & (gx < ox + c))
+                spd = jnp.where(wet & own, spd, 0.0)
+                local_max = jnp.max(spd)
+
+            # Max across the mesh (the Allreduce(MIN)-on-dt analogue).
             gmax = jax.lax.pmax(jax.lax.pmax(local_max, "my"), "mx")
             cr = advance(cr, gmax, sync_time, end_time, params.dx,
                          ts_params)
@@ -159,7 +224,7 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         (est, carry, ecomp), _ = jax.lax.scan(body, (est, carry, ecomp),
                                               length=window)
 
-        interior = (slice(pad, pad + r), slice(pad, pad + c))
+        interior = (slice(pad_r, pad_r + r), slice(pad_c, pad_c + c))
         out_comp = ecomp[interior] if compensated else comp
         return tuple(a[interior] for a in est), carry, out_comp
 
@@ -169,12 +234,18 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         from jax.experimental.shard_map import shard_map
 
     comp_spec = grid_spec if compensated else P()
-    sharded = shard_map(
-        local_window, mesh=mesh,
+    sm_kwargs = dict(
+        mesh=mesh,
         in_specs=((grid_spec,) * 4, P(), (grid_spec, grid_spec), P(),
                   comp_spec),
         out_specs=((grid_spec,) * 4, P(), comp_spec),
     )
+    try:
+        # pallas_call outputs carry no varying-across-mesh metadata, which
+        # newer jax's shard_map checker rejects.
+        sharded = shard_map(local_window, check_vma=False, **sm_kwargs)
+    except TypeError:                           # older jax: no check_vma
+        sharded = shard_map(local_window, **sm_kwargs)
 
     @partial(jax.jit, static_argnames=("n_steps",),
              donate_argnames=("state", "carry", "comp"))

@@ -93,20 +93,44 @@ class Simulation:
         self.compensated = config.dtype == "float32c"
 
         # Kernel backend: the fused Pallas stencil runs the whole step +
-        # CFL reduce in VMEM (f32, single device, aligned grids); everything
-        # else uses the XLA-fused path.
+        # CFL reduce in VMEM (f32/f32c, aligned grids); under a mesh it
+        # runs per-device inside the halo-deep shard_map window.
+        # Everything else uses the XLA-fused path.
         from ..ops.pallas import stencil as _pallas
+        on_tpu = jax.devices()[0].platform == "tpu"
         backend = config.kernel_backend
         if backend == "auto":
-            on_tpu = jax.devices()[0].platform == "tpu"
-            # All three schemes run the Pallas backend on a single TPU chip
-            # in f32/f32c; MUSCL-Hancock uses the two-kernel split (the
-            # fully fused variant overwhelms the Mosaic compiler).
-            backend = ("pallas" if (on_tpu and mesh is None
-                                    and config.dtype in ("float32",
-                                                         "float32c"))
+            # All three schemes run the Pallas backend on TPU in f32/f32c;
+            # MUSCL-Hancock uses the two-kernel split (the fully fused
+            # variant overwhelms the Mosaic compiler).
+            backend = ("pallas" if (on_tpu and config.dtype in
+                                    ("float32", "float32c"))
                        else "xla")
-        if backend == "pallas":
+        self._mesh_window = (config.forecast_window
+                             if (mesh is not None
+                                 and config.sync_method == "forecast")
+                             else 1)
+        if backend == "pallas" and mesh is not None:
+            # Mesh mode runs Pallas through the halo-deep window path
+            # (sync_method "timestep" == a window of 1); cell boundaries
+            # need global scatter and fall back to the GSPMD XLA path.
+            from ..parallel.halo_deep import halo_pads
+            py, px = mesh.devices.shape
+            if any(type(b).__name__ == "CellBoundary"
+                   for b in self.boundaries):
+                backend = "xla"
+            else:
+                domain.pad_for_tiles(sublane=8 * py, lane=128 * px)
+                r_loc = domain.rows // py
+                c_loc = domain.cols // px
+                pad_r, pad_c = halo_pads(self._mesh_window,
+                                         self.scheme.radius, "pallas")
+                er, ec = r_loc + 2 * pad_r, c_loc + 2 * pad_c
+                if (pad_r > r_loc or pad_c > c_loc
+                        or not _pallas.supports(er, ec,
+                                                scheme=self.scheme.name)):
+                    backend = "xla"
+        elif backend == "pallas":
             domain.pad_for_tiles()
         # Closed-edge walls span the scheme's full static ring so closed
         # domains conserve mass exactly (see Domain.apply_edge_treatment).
@@ -115,10 +139,11 @@ class Simulation:
         self.state, self.static = domain.build(
             dtype=dtype, edge_wall_width=self.scheme.radius,
             datum_shift=(config.dtype != "float64"))
-        if backend == "pallas" and not _pallas.supports(
+        if backend == "pallas" and mesh is None and not _pallas.supports(
                 domain.rows, domain.cols, scheme=self.scheme.name):
             backend = "xla"
         self.backend = backend
+        self._interpret = not on_tpu
         self.carry = initial_carry(dtype, dt0=config.initial_timestep)
         self.comp = (jnp.zeros_like(self.state.z) if self.compensated
                      else None)
@@ -145,19 +170,47 @@ class Simulation:
             fixed_dt=config.fixed_timestep,
             simplified_speed=self.scheme.simplified_speed)
 
-        if mesh is not None and config.sync_method == "forecast":
-            from ..parallel.halo_deep import build_halo_deep_batch
-            if any(type(b).__name__ == "CellBoundary"
-                   for b in self.boundaries):
+        if mesh is not None and (config.sync_method == "forecast"
+                                 or self.backend == "pallas"):
+            from ..parallel.halo_deep import build_halo_deep_batch, halo_pads
+            if config.sync_method == "forecast" and any(
+                    type(b).__name__ == "CellBoundary"
+                    for b in self.boundaries):
                 raise ValueError("cell boundaries need global scatter; use "
                                  "sync_method='timestep'")
-            self._run_batch = build_halo_deep_batch(
-                mesh, self.scheme, self.params, self.ts_params,
-                self.boundaries, self.config.duration,
-                config.forecast_window,
-                domain.logical_rows, domain.logical_cols,
-                compensated=self.compensated)
-            self._steps_per_unit = config.forecast_window
+            # The halo pads must fit inside each device's block; shrink
+            # the exchange window until they do (the reference's rollback
+            # limit = overlap-1 plays the same clamping role,
+            # src/Domain/CDomainBase.cpp:163-174).
+            py, px = mesh.devices.shape
+            r_loc, c_loc = domain.rows // py, domain.cols // px
+            while self._mesh_window > 1:
+                pr, pc = halo_pads(self._mesh_window, self.scheme.radius,
+                                   self.backend)
+                if pr <= r_loc and pc <= c_loc:
+                    break
+                self._mesh_window -= 1
+            pr, pc = halo_pads(self._mesh_window, self.scheme.radius,
+                               self.backend)
+            if pr > r_loc or pc > c_loc:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "mesh blocks %dx%d too small for any halo window; "
+                    "falling back to per-step GSPMD halos", r_loc, c_loc)
+                self.backend = "xla"
+                self._mesh_window = 1
+                self._run_batch = self._build_run_batch()
+            else:
+                self._run_batch = build_halo_deep_batch(
+                    mesh, self.scheme, self.params, self.ts_params,
+                    self.boundaries, self.config.duration,
+                    self._mesh_window,
+                    domain.logical_rows, domain.logical_cols,
+                    compensated=self.compensated,
+                    backend=self.backend,
+                    interpret=self._interpret,
+                    muscl_variant=config.muscl_variant)
+            self._steps_per_unit = self._mesh_window
         else:
             self._run_batch = self._build_run_batch()
             self._steps_per_unit = 1
@@ -293,12 +346,24 @@ class Simulation:
     @property
     def state_logical(self) -> FlowState:
         lr, lc = self.domain.logical_rows, self.domain.logical_cols
-        return FlowState(*(np.asarray(a)[:lr, :lc] for a in self.state))
+        fetch = self._fetch_global
+        return FlowState(*(fetch(a)[:lr, :lc] for a in self.state))
 
     @property
     def static_logical(self) -> DomainStatic:
         lr, lc = self.domain.logical_rows, self.domain.logical_cols
-        return DomainStatic(*(np.asarray(a)[:lr, :lc] for a in self.static))
+        fetch = self._fetch_global
+        return DomainStatic(*(fetch(a)[:lr, :lc] for a in self.static))
+
+    @staticmethod
+    def _fetch_global(a) -> np.ndarray:
+        """Host copy of a device array; under multi-host sharding the
+        non-addressable shards are allgathered first (the reference's
+        stream-to-rank-0, src/MPI/CMPIManager.cpp:468-550)."""
+        if jax.process_count() > 1:
+            from ..parallel.distributed import gather_to_host
+            return gather_to_host(a)
+        return np.asarray(a)
 
     def depth(self) -> np.ndarray:
         st = self.state_logical

@@ -74,3 +74,35 @@ def test_newcastle_model_runs(model_dir):
     # Outputs written.
     outs = list((model_dir / "newcastle-centre/output").glob("*.img"))
     assert len(outs) == 5  # depth, velX, velY, fsl, maxdepth
+
+
+@pytest.mark.slow
+def test_newcastle_full_duration_golden(model_dir):
+    """Full 7200 s regression against the committed golden artifact
+    (BASELINE.md target 3).  The golden was produced by this framework's
+    f64 CPU path (tests/data/newcastle_golden.json); any numerics change
+    that moves the solution shows up here."""
+    import json
+
+    gold_path = Path(__file__).parent / "data" / "newcastle_golden.json"
+    if not gold_path.exists():
+        pytest.skip("golden artifact not generated yet")
+    gold = json.loads(gold_path.read_text())
+
+    from hipims_tpu.io.xml_config import load_config
+
+    model = load_config(model_dir / "newcastle-centre.xml")
+    sim = model.simulation()
+    sim.output_writer = None
+    for i in range(1, 13):
+        sim.run_to(i * 600.0)
+        want = gold["volumes"][str(i * 600)]
+        assert sim.volume() == pytest.approx(want, rel=1e-6), f"t={i*600}"
+
+    h = sim.depth()
+    assert float(h.mean()) == pytest.approx(gold["depth_mean"], rel=1e-6)
+    assert float(h.max()) == pytest.approx(gold["depth_max"], rel=1e-4)
+    assert int((h > 0.01).sum()) == pytest.approx(gold["wet_cells"], abs=5)
+    blocks = h[:192, :336].reshape(8, 24, 8, 42).mean(axis=(1, 3))
+    np.testing.assert_allclose(blocks, np.asarray(gold["block_means"]),
+                               rtol=1e-4, atol=1e-7)

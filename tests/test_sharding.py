@@ -118,3 +118,64 @@ def test_forecast_with_rainfall(mesh8):
     np.testing.assert_allclose(np.asarray(fc.state.z),
                                np.asarray(ref.state.z), rtol=1e-9,
                                atol=2e-9)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under the mesh (interpret mode on CPU; VERDICT r2 item 2).
+# ---------------------------------------------------------------------------
+
+def _run_f32(scheme, mesh, backend, n=64, duration=1.0, sync="timestep",
+             window=1):
+    dom = circular_dam_domain(n=n)
+    cfg = SimulationConfig(scheme=scheme, duration=duration,
+                           output_frequency=duration, friction=True,
+                           batch_size=4, batch_auto=False, dtype="float32",
+                           kernel_backend=backend, sync_method=sync,
+                           forecast_window=window)
+    sim = Simulation(dom, cfg, mesh=mesh)
+    sim.run()
+    return sim
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock", "inertial"])
+def test_mesh_pallas_matches_xla(scheme, mesh8):
+    """The fused kernels on halo-extended local blocks must reproduce the
+    single-device XLA run (modulo f32 fusion-order ulps)."""
+    shd = _run_f32(scheme, mesh8, "pallas")
+    assert shd.backend == "pallas"
+    assert shd._mesh_window == 1
+    ref = _run_f32(scheme, None, "xla")
+    assert shd.t == pytest.approx(ref.t, rel=1e-6)
+    a = ref.state_logical
+    b = shd.state_logical
+    for x, y, name in zip(a, b, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_mesh_pallas_forecast_window(mesh8):
+    """Halo-deep windows (several steps per exchange) with the fused
+    kernels."""
+    shd = _run_f32("godunov", mesh8, "pallas", sync="forecast", window=3)
+    assert shd.backend == "pallas"
+    assert shd._mesh_window == 3
+    ref = _run_f32("godunov", None, "xla")
+    assert shd.t == pytest.approx(ref.t, rel=1e-6)
+    np.testing.assert_allclose(np.asarray(shd.state_logical.z),
+                               np.asarray(ref.state_logical.z),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_pallas_compensated(mesh8):
+    """float32c under the mesh: the residue plane rides the halo
+    exchange."""
+    dom = circular_dam_domain(n=64)
+    cfg = SimulationConfig(scheme="godunov", duration=1.0,
+                           output_frequency=1.0, batch_size=4,
+                           batch_auto=False, dtype="float32c",
+                           kernel_backend="pallas")
+    sim = Simulation(dom, cfg, mesh=mesh8)
+    assert sim.backend == "pallas" and sim.compensated
+    sim.run()
+    assert np.isfinite(np.asarray(sim.state.z)).all()
+    assert float(np.abs(np.asarray(sim.comp)).max()) > 0.0
