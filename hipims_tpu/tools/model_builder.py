@@ -91,13 +91,14 @@ def _emit(directory, name, description, zb, extras, duration,
           output_frequency, scheme="godunov", resolution=2.0,
           manning=0.03, friction="yes", courant=0.5, rainfall=None,
           depth=None, fsl=None, validation=None, decompose=None,
-          decompose_overlap=4, sync_method=None, gauges=None):
+          decompose_overlap=4, sync_method=None, gauges=None,
+          xll=0.0, yll=0.0):
     directory = Path(directory)
     (directory / "topography").mkdir(parents=True, exist_ok=True)
     (directory / "boundaries").mkdir(exist_ok=True)
     (directory / "output").mkdir(exist_ok=True)
 
-    def band_sources(lo, hi, suffix, yll):
+    def band_sources(lo, hi, suffix, band_yll):
         """Constant + per-band raster IC source lines for rows [lo, hi) —
         each decomposed <domain> is configured FULLY, as the reference
         does (src/Domain/CDomainManager.cpp:170-241)."""
@@ -111,8 +112,8 @@ def _emit(directory, name, description, zb, extras, duration,
                 fname = f"{nm}{suffix}.asc"
                 write_raster(directory / "topography" / fname,
                              Raster.from_domain_array(
-                                 np.asarray(vals)[lo:hi],
-                                 cell_size=resolution, yll=yll))
+                                 np.asarray(vals)[lo:hi], xll=xll,
+                                 cell_size=resolution, yll=band_yll))
                 out.append(_source_line("raster", nm, fname))
         return out
 
@@ -155,17 +156,17 @@ def _emit(directory, name, description, zb, extras, duration,
                                   if i < n_parts - 1 else 0))
             suffix = f"_part{i}"
             dem_name = f"dem{suffix}.asc"
-        yll = lo * resolution
+        band_yll = yll + lo * resolution
         write_raster(directory / "topography" / dem_name,
-                     Raster.from_domain_array(zb[lo:hi],
+                     Raster.from_domain_array(zb[lo:hi], xll=xll,
                                               cell_size=resolution,
-                                              yll=yll))
+                                              yll=band_yll))
         # Every domain carries its own full configuration — band-sliced
         # ICs, the boundary timeseries and the output targets — exactly
         # like a reference decomposed config; the loader deduplicates the
         # repeats when stitching.
         dom_sources = ([_source_line("raster", "structure,dem", dem_name)]
-                       + band_sources(lo, hi, suffix, yll))
+                       + band_sources(lo, hi, suffix, band_yll))
         blocks.append(DOMAIN_TEMPLATE.format(
             device=i + 1, scheme=scheme, courant=courant, friction=friction,
             sources="\n".join(dom_sources),
@@ -187,17 +188,43 @@ def _emit(directory, name, description, zb, extras, duration,
 
 def build_pluvial(directory, name="pluvial", size=500, resolution=2.0,
                   rain_mm_hr=70.0, duration=3600.0, scheme="godunov",
-                  **kw):
-    """Synthetic pluvial test: undulating catchment + uniform rainfall
-    (the reference builds these from EA LiDAR; we synthesise terrain)."""
-    n = int(size)
-    x = np.linspace(0, 4 * np.pi, n)
-    y = np.linspace(0, 4 * np.pi, n)
-    zb = (2.0 * np.sin(x)[None, :] * np.cos(y)[:, None]
-          + 0.01 * np.arange(n)[:, None] * resolution / 10.0)
-    return _emit(directory, name, "Synthetic pluvial catchment", zb,
+                  terrain_dir=None, extent=None, **kw):
+    """Pluvial model: uniform rainfall over a catchment DEM.
+
+    Without ``terrain_dir`` the terrain is synthetic.  With it, the
+    reference's real-data workflow runs offline: ``extent`` (BNG metres,
+    (x0, y0, x1, y1)) is mapped to 10 km EA LiDAR tile names and the
+    pre-fetched tile rasters in ``terrain_dir`` are mosaicked and
+    clipped into the model DEM (reference:
+    tools/model-builder/DomainBNG.js + BngTile.js, minus the network).
+    Cells not covered by any tile are disabled (-9999)."""
+    xll = yll = 0.0
+    if terrain_dir is not None:
+        from .bng import mosaic_extent, tile_names_for_extent
+        if extent is None:
+            raise ValueError("--extent x0,y0,x1,y1 is required with "
+                             "--terrain-dir")
+        x0, y0, x1, y1 = extent
+        zb, missing = mosaic_extent(terrain_dir, x0, y0, x1, y1,
+                                    resolution)
+        if missing:
+            print(f"  warning: no raster found for tiles {missing} "
+                  f"(of {tile_names_for_extent(x0, y0, x1, y1)}); "
+                  "their cells are disabled")
+        if (zb == -9999.0).all():
+            raise ValueError("no tile raster covered the extent at all")
+        xll, yll = x0, y0
+        description = "EA LiDAR pluvial catchment"
+    else:
+        n = int(size)
+        x = np.linspace(0, 4 * np.pi, n)
+        y = np.linspace(0, 4 * np.pi, n)
+        zb = (2.0 * np.sin(x)[None, :] * np.cos(y)[:, None]
+              + 0.01 * np.arange(n)[:, None] * resolution / 10.0)
+        description = "Synthetic pluvial catchment"
+    return _emit(directory, name, description, zb,
                  {}, duration, duration / 6, scheme=scheme,
-                 resolution=resolution, depth=0.0,
+                 resolution=resolution, depth=0.0, xll=xll, yll=yll,
                  rainfall=[(0, rain_mm_hr), (duration / 2, rain_mm_hr),
                            (duration, 0.0)], **kw)
 
@@ -445,6 +472,12 @@ def main(argv=None):
     ap.add_argument("--sync-method", default=None,
                     choices=("timestep", "forecast"),
                     help="<domainSet syncMethod> for decomposed models")
+    ap.add_argument("--terrain-dir", default=None,
+                    help="pluvial only: directory of pre-fetched EA LiDAR "
+                         "BNG tile rasters (LIDAR-DTM-2M-<TILE>.*)")
+    ap.add_argument("--extent", default=None, metavar="X0,Y0,X1,Y1",
+                    help="pluvial only: model extent in BNG metres")
+    ap.add_argument("--resolution", type=float, default=None)
     args = ap.parse_args(argv)
     kw = {}
     if args.name:
@@ -456,6 +489,12 @@ def main(argv=None):
         kw["decompose_overlap"] = args.decompose_overlap
     if args.sync_method:
         kw["sync_method"] = args.sync_method
+    if args.terrain_dir:
+        kw["terrain_dir"] = args.terrain_dir
+    if args.extent:
+        kw["extent"] = tuple(float(v) for v in args.extent.split(","))
+    if args.resolution:
+        kw["resolution"] = args.resolution
     path = BUILDERS[args.type](args.directory, **kw)
     print(f"Model written: {path}")
     return 0
