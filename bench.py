@@ -19,6 +19,14 @@ import os
 import sys
 import time
 
+# Persistent compilation cache: the fused kernels take minutes to build
+# on the TPU relay; cached executables make repeat benchmark runs (and
+# the driver's end-of-round run) start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 # Reference rates from BASELINE.md (Malpasset, config A — the fastest —
 # on the best GPU, NVIDIA Tesla M2075).
 BASELINE_F32 = 556e6   # 32-bit MUSCL-Hancock
@@ -47,11 +55,18 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
 
     from hipims_tpu.runtime import Simulation, SimulationConfig
 
+    mesh = None
+    if os.environ.get("BENCH_MESH"):
+        # N-device mesh (halo-deep shard_map path; 1 validates that the
+        # fused kernels keep their rate under the mesh machinery).
+        from hipims_tpu.parallel import make_mesh
+        mesh = make_mesh(int(os.environ["BENCH_MESH"]))
+
     cfg = SimulationConfig(scheme=scheme, duration=1e9,
                            output_frequency=1e9, dtype=dtype,
                            batch_size=steps, batch_auto=False,
                            kernel_backend=backend, muscl_variant=variant)
-    sim = Simulation(build_domain(rows, cols), cfg)
+    sim = Simulation(build_domain(rows, cols), cfg, mesh=mesh)
     sync = jnp.asarray(1e9, dtype=sim.dtype)
 
     # Warm-up (compile + first batch).  The scalar read-back is the sync

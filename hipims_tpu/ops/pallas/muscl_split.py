@@ -105,7 +105,12 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
                       logical_rows, logical_cols, compensated=False,
-                      speed_window=None):
+                      speed_window=None, with_origin=False):
+    if with_origin:
+        origin_ref, *refs = refs
+        oy0, ox0 = origin_ref[0, 0], origin_ref[0, 1]
+    else:
+        oy0 = ox0 = 0
     n_in = 6 + N_PRED + (1 if compensated else 0)
     n_out = 4 + (1 if compensated else 0)
     ins = refs[:n_in]
@@ -137,8 +142,9 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     zi, zmaxi, qxi, qyi = out[:4]
 
     # Two-cell static ring by global index.
-    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
-    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
+    gids = (jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
+            + oy0)
+    cids = (jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1 + ox0)
     ring = ((gids < RING) | (gids >= logical_rows - RING)
             | (cids < RING) | (cids >= logical_cols - RING))
     old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1], qx[1:-1, 1:-1], qy[1:-1, 1:-1])
@@ -220,7 +226,13 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
 
 def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
                                 cols, logical_rows, logical_cols,
-                                compensated=False, speed_window=None):
+                                compensated=False, speed_window=None,
+                                with_origin=False):
+    if with_origin:
+        origin_ref, *refs = refs
+        oy0, ox0 = origin_ref[0, 0], origin_ref[0, 1]
+    else:
+        oy0 = ox0 = 0
     """Corrector that re-derives the limited slopes from the original
     state (DMA'd with the standard aligned halo) instead of loading the 8
     slope planes from HBM — bitwise-identical faces, ~40 B/cell less HBM
@@ -294,8 +306,9 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
                                comp=comp)
     zi, zmaxi, qxi, qyi = out[:4]
 
-    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
-    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1
+    gids = (jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
+            + oy0)
+    cids = (jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + 1 + ox0)
     ring = ((gids < RING) | (gids >= logical_rows - RING)
             | (cids < RING) | (cids >= logical_cols - RING))
     old = (z[1:-1, 1:-1], zmax[1:-1, 1:-1], qx[1:-1, 1:-1], qy[1:-1, 1:-1])
@@ -345,7 +358,7 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                             params: SchemeParams, tile_rows=None,
                             interpret: bool = False, logical_rows=None,
                             logical_cols=None, variant=None, comp=None,
-                            speed_window=None):
+                            speed_window=None, origin=None):
     """Fused two-kernel MUSCL step + CFL reduce.  Returns
     (new_state, max_wave_speed), plus the updated compensation plane when
     ``comp`` (compensated-f32 z accumulation) is given — the residue only
@@ -354,6 +367,7 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     None = DEFAULT_VARIANT)."""
     rows, cols = state.z.shape
     compensated = comp is not None
+    with_origin = origin is not None
     if variant is None:
         variant = DEFAULT_VARIANT
     if variant not in ("split12", "recompute"):
@@ -405,11 +419,16 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                            tile_rows=tile_rows, rows=rows, cols=cols,
                            logical_rows=lr, logical_cols=lc,
                            compensated=compensated,
-                           speed_window=speed_window)
+                           speed_window=speed_window,
+                           with_origin=with_origin)
     n_in = 6 + n_pred + (1 if compensated else 0)
     n_out = 4 + (1 if compensated else 0)
-    corr_inputs = [dt_arr, state.z, state.zmax, state.qx, state.qy,
-                   static.zb, static.manning, *pred]
+    n_smem_in = 2 if with_origin else 1
+    corr_inputs = [dt_arr]
+    if with_origin:
+        corr_inputs.append(jnp.asarray(origin, jnp.int32).reshape(1, 2))
+    corr_inputs += [state.z, state.zmax, state.qx, state.qy,
+                    static.zb, static.manning, *pred]
     if compensated:
         corr_inputs.append(comp)
     outs = pl.pallas_call(
@@ -417,7 +436,7 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem_in
             + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],

@@ -215,8 +215,18 @@ def supports(rows: int, cols: int, tile_rows=None,
 def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
             tile_rows: int, rows: int, cols: int, logical_rows: int,
             logical_cols: int, simplified_speed: bool,
-            compensated: bool = False, speed_window=None):
+            compensated: bool = False, speed_window=None,
+            with_origin: bool = False):
     interior_fn, radius, _ = INTERIOR[scheme]
+    if with_origin:
+        # Mesh mode: (1, 2) SMEM scalar holding the global index of this
+        # device's extended block's first row/col, so the logical ring
+        # mask is evaluated in TRUE global coordinates in-kernel (no
+        # masking pass over the full block outside).
+        origin_ref, *refs = refs
+        oy0, ox0 = origin_ref[0, 0], origin_ref[0, 1]
+    else:
+        oy0 = ox0 = 0
     n_in = N_IN + (1 if compensated else 0)   # + comp plane
     n_out = N_OUT + (1 if compensated else 0)
     ins = refs[:n_in]
@@ -251,10 +261,11 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
 
     # The LOGICAL grid's static ring stays untouched (padding cells beyond
     # it are disabled and already keep their state): mask by global index.
-    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr
-    cids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + radius
+    gids = jax.lax.broadcasted_iota(jnp.int32, zi.shape, 0) + t * tr + oy0
+    cids = (jax.lax.broadcasted_iota(jnp.int32, zi.shape, 1) + radius
+            + ox0)
     ring = ((gids < radius) | (gids >= logical_rows - radius)
-            | (cids >= logical_cols - radius))
+            | (cids < radius) | (cids >= logical_cols - radius))
     rs = slice(radius, -radius)
     old = (z[rs, rs], zmax[rs, rs], qx[rs, rs], qy[rs, rs])
     zi, zmaxi, qxi, qyi = (jnp.where(ring, o, v) for o, v in
@@ -318,15 +329,18 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
                         logical_rows=None,
                         logical_cols=None,
                         comp=None,
-                        speed_window=None):
+                        speed_window=None,
+                        origin=None):
     """Fused step + CFL reduce for any scheme.  Returns
     (new_state, max_wave_speed), or (new_state, max_wave_speed, comp_new)
     when ``comp`` (the compensated-f32 z residue plane) is given — the
     residue rides the same DMA pipeline as a 7th input / 5th output
-    plane."""
+    plane.  ``origin`` (mesh mode): (1, 2) int32 global index of this
+    block's first row/col, moving the logical-ring masking in-kernel."""
     rows, cols = state.z.shape
     temp = INTERIOR[scheme][2]
     compensated = comp is not None
+    with_origin = origin is not None
     if tile_rows is None:
         tile_rows = pick_tile_rows(rows, cols, temp)
     if not supports(rows, cols, tile_rows, scheme):
@@ -343,14 +357,15 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         rows=rows, cols=cols,
         logical_rows=logical_rows or rows, logical_cols=logical_cols or cols,
         simplified_speed=simplified_speed, compensated=compensated,
-        speed_window=speed_window)
+        speed_window=speed_window, with_origin=with_origin)
 
     dt_arr = jnp.reshape(jnp.asarray(dt, dtype=dtype), (1, 1))
 
+    n_smem_in = 2 if with_origin else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem_in
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -367,8 +382,11 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
         + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)]
     )
 
-    inputs = [dt_arr, state.z, state.zmax, state.qx, state.qy,
-              static.zb, static.manning]
+    inputs = [dt_arr]
+    if with_origin:
+        inputs.append(jnp.asarray(origin, jnp.int32).reshape(1, 2))
+    inputs += [state.z, state.zmax, state.qx, state.qy,
+               static.zb, static.manning]
     if compensated:
         inputs.append(comp)
 

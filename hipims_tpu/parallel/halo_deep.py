@@ -70,20 +70,29 @@ def _extend2d(arr, pad_r, pad_c, py, px):
     return jnp.swapaxes(out, 0, 1)
 
 
-def halo_pads(window: int, radius: int, backend: str = "xla"):
+def halo_pads(window: int, radius: int, backend: str = "xla",
+              local_rows=None):
     """(pad_r, pad_c) halo depths for one exchange window.
 
     +1: the outermost extended ring never updates and skips boundary
     forcing, so it must sit one ring beyond the needed validity depth.
     The Pallas backend rounds the pads up to the DMA alignment contract
-    (extended rows stay 8-aligned when the local block is, extended
-    columns stay 128-aligned): pad_r to a multiple of 4, pad_c to a
-    multiple of 64 (ops/pallas/stencil.py alignment notes)."""
+    (extended columns stay 128-aligned => pad_c to a multiple of 64) and,
+    given the local block's row count, additionally sizes pad_r so the
+    extended rows are 64-divisible — otherwise an unlucky prime factor
+    (e.g. 2816 + 2*4 = 8*353) forces 8-row tiles and a 353-step Mosaic
+    grid that takes minutes to compile and pipelines poorly."""
     need = window * radius + 1
     if backend != "pallas":
         return need, need
-    pad_r = -(-need // 4) * 4
     pad_c = -(-need // 64) * 64
+    if local_rows is None or local_rows % 8:
+        return -(-need // 4) * 4, pad_c
+    # Smallest pad_r >= need with (local_rows + 2*pad_r) % 64 == 0
+    # (local_rows is 8-aligned, so the target residue is even and the
+    # resulting pad_r is a multiple of 4, keeping rows 8-aligned too).
+    residue = ((64 - local_rows % 64) // 2) % 32
+    pad_r = need + (residue - need) % 32
     return pad_r, pad_c
 
 
@@ -94,7 +103,8 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                           compensated: bool = False,
                           backend: str = "xla",
                           interpret: bool = False,
-                          muscl_variant=None):
+                          muscl_variant=None,
+                          local_rows=None):
     """Jitted runner: (state, carry, static, sync_time, comp, n_windows) ->
     (state, carry, comp), executing ``window`` steps per halo exchange.
     ``comp`` is the compensated-f32 z residue plane (or None); it is halo-
@@ -108,7 +118,7 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
     lock-step dt is bit-identical to the single-device run."""
     py, px = mesh.devices.shape
     radius = 2 if scheme.name == "muscl-hancock" else 1
-    pad_r, pad_c = halo_pads(window, radius, backend)
+    pad_r, pad_c = halo_pads(window, radius, backend, local_rows)
     step_fn = scheme.step
     simplified = ts_params.simplified_speed
     use_pallas = backend == "pallas"
@@ -118,115 +128,173 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
 
     grid_spec = P("my", "mx")
 
-    def local_window(state, carry, static, sync_time, comp):
-        z, zmax, qx, qy = state
-        zb, n = static
+    def _refresh_halos(ext):
+        """Refresh the halo frame of a persistently-extended array from
+        the neighbours' interiors: strip ppermutes + in-place slice
+        updates (rows full-width first, then columns full-height, which
+        transports the corners exactly like _extend2d)."""
+        er, ec = ext.shape
+        r, c = er - 2 * pad_r, ec - 2 * pad_c
+        dus = jax.lax.dynamic_update_slice
+        if py > 1:
+            up = [(i, i + 1) for i in range(py - 1)]
+            down = [(i, i - 1) for i in range(1, py)]
+            from_below = jax.lax.ppermute(
+                jax.lax.dynamic_slice(ext, (r, 0), (pad_r, ec)),
+                "my", up)
+            from_above = jax.lax.ppermute(
+                jax.lax.dynamic_slice(ext, (pad_r, 0), (pad_r, ec)),
+                "my", down)
+            ext = dus(ext, from_below, (0, 0))
+            ext = dus(ext, from_above, (r + pad_r, 0))
+        if px > 1:
+            left = [(i, i + 1) for i in range(px - 1)]
+            right = [(i, i - 1) for i in range(1, px)]
+            from_left = jax.lax.ppermute(
+                jax.lax.dynamic_slice(ext, (0, c), (er, pad_c)),
+                "mx", left)
+            from_right = jax.lax.ppermute(
+                jax.lax.dynamic_slice(ext, (0, pad_c), (er, pad_c)),
+                "mx", right)
+            ext = dus(ext, from_left, (0, 0))
+            ext = dus(ext, from_right, (0, c + pad_c))
+        return ext
 
-        # Global offsets of this device's block.
-        r, c = z.shape
-        assert pad_r <= r and pad_c <= c, (
-            f"halo pads ({pad_r}, {pad_c}) exceed the local block "
-            f"({r}x{c}); shrink forecast_window or the mesh")
-        oy = jax.lax.axis_index("my") * r
-        ox = jax.lax.axis_index("mx") * c
+    def make_local_batch(n_windows: int):
+        def local_batch(state, carry, static, sync_time, comp):
+            z, zmax, qx, qy = state
+            zb, n = static
 
-        # --- one deep halo exchange per window ------------------------
-        ext = [_extend2d(a, pad_r, pad_c, py, px)
-               for a in (z, zmax, qx, qy, zb, n)]
-        ez, ezmax, eqx, eqy, ezb, en = ext
-        ecomp = _extend2d(comp, pad_r, pad_c, py, px) if compensated \
-            else None
+            # Global offsets of this device's block.
+            r, c = z.shape
+            assert pad_r <= r and pad_c <= c, (
+                f"halo pads ({pad_r}, {pad_c}) exceed the local block "
+                f"({r}x{c}); shrink forecast_window or the mesh")
+            oy = jax.lax.axis_index("my") * r
+            ox = jax.lax.axis_index("mx") * c
 
-        # Static-ring + out-of-domain mask on the extended block (global
-        # index space; zero-filled out-of-mesh halos land outside too).
-        er, ec = ez.shape
-        gy = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 0) + (oy - pad_r)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 1) + (ox - pad_c)
-        ring = ((gy < radius) | (gy >= logical_rows - radius)
-                | (gx < radius) | (gx >= logical_cols - radius))
+            # One-time extension into a zero frame; the static fields'
+            # halos are filled once (they never change), the state's are
+            # refreshed in place at the top of every window.
+            def ext0(a):
+                frame = jnp.zeros((r + 2 * pad_r, c + 2 * pad_c), a.dtype)
+                return jax.lax.dynamic_update_slice(frame, a,
+                                                    (pad_r, pad_c))
 
-        est = FlowState(ez, ezmax, eqx, eqy)
-        estatic = DomainStatic(ezb, en)
-        speed_window = (pad_r, r, pad_c, c)
+            ez, ezmax, eqx, eqy = (ext0(a) for a in (z, zmax, qx, qy))
+            ezb, en = _refresh_halos(ext0(zb)), _refresh_halos(ext0(n))
+            ecomp = ext0(comp) if compensated else None
 
-        def body(sc, _):
-            st, cr, cm = sc
-            # Boundaries on the extended block (halo copies get the same
-            # forcing their owners apply); the global static ring must not
-            # receive forcing, mirroring the single-device interior slice.
-            st_pre, cm_pre = st, cm
-            for b in boundaries:
+            # Static-ring + out-of-domain mask on the extended block
+            # (global index space; zero-filled out-of-mesh halos land
+            # outside too).
+            er, ec = ez.shape
+            gy = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 0) \
+                + (oy - pad_r)
+            gx = jax.lax.broadcasted_iota(jnp.int32, (er, ec), 1) \
+                + (ox - pad_c)
+            ring = ((gy < radius) | (gy >= logical_rows - radius)
+                    | (gx < radius) | (gx >= logical_cols - radius))
+
+            estatic = DomainStatic(ezb, en)
+            speed_window = (pad_r, r, pad_c, c)
+            # Global index of the extended block's first row/col: the
+            # kernels evaluate the logical ring mask in-kernel with it,
+            # removing the full-block masking passes the XLA path needs.
+            origin = jnp.stack([oy - pad_r, ox - pad_c]).astype(
+                jnp.int32).reshape(1, 2)
+
+            def step_body(sc, _):
+                st, cr, cm = sc
+                # Boundaries on the extended block (halo copies get the
+                # same forcing their owners apply); the global static
+                # ring must not receive forcing, mirroring the
+                # single-device interior slice.
+                st_pre, cm_pre = st, cm
+                for b in boundaries:
+                    if compensated:
+                        st, cm = b.apply(st, estatic, cr.t, cr.dt,
+                                         cr.t_hydro, params, comp=cm)
+                    else:
+                        st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
+                                     params)
+                st = FlowState(*(jnp.where(ring, o, v)
+                                 for o, v in zip(st_pre, st)))
                 if compensated:
-                    st, cm = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
-                                     params, comp=cm)
-                else:
-                    st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
-                                 params)
-            st = FlowState(*(jnp.where(ring, o, v)
-                             for o, v in zip(st_pre, st)))
-            if compensated:
-                cm = jnp.where(ring, cm_pre, cm)
+                    cm = jnp.where(ring, cm_pre, cm)
 
-            if use_pallas:
-                # Fused kernel on the extended block.  Its internal ring
-                # mask (logical dims = extended dims) freezes the
-                # outermost radius ring exactly like scheme.step; its
-                # fused CFL partial is masked to owned cells.
-                if scheme.name == "muscl-hancock":
-                    out = muscl_step_pallas_split.__wrapped__(
-                        st, estatic, cr.dt, params, None, interpret,
-                        er, ec, muscl_variant, cm, speed_window)
+                if use_pallas:
+                    # Fused kernel on the extended block.  With ``origin``
+                    # its internal ring mask runs in TRUE global
+                    # coordinates (freezing the domain's static ring and
+                    # every out-of-domain halo cell in-kernel), and its
+                    # fused CFL partial is masked to owned cells — no
+                    # full-block masking passes outside the kernel.
+                    if scheme.name == "muscl-hancock":
+                        out = muscl_step_pallas_split.__wrapped__(
+                            st, estatic, cr.dt, params, None, interpret,
+                            logical_rows, logical_cols, muscl_variant,
+                            cm, speed_window, origin)
+                    else:
+                        out = stencil_step_pallas.__wrapped__(
+                            scheme.name, st, estatic, cr.dt, params,
+                            simplified, None, interpret, logical_rows,
+                            logical_cols, cm, speed_window, origin)
+                    if compensated:
+                        new, local_max, cm_new = out
+                    else:
+                        new, local_max = out
+                        cm_new = None
                 else:
-                    out = stencil_step_pallas.__wrapped__(
-                        scheme.name, st, estatic, cr.dt, params,
-                        simplified, None, interpret, er, ec, cm,
-                        speed_window)
+                    if compensated:
+                        new, cm_new = step_fn(st, estatic, cr.dt, params,
+                                              comp=cm)
+                        cm_new = jnp.where(ring, cm, cm_new)
+                    else:
+                        new = step_fn(st, estatic, cr.dt, params)
+                        cm_new = None
+                    new = FlowState(*(jnp.where(ring, o, v)
+                                      for o, v in zip(st, new)))
+                    # Global lock-step dt: max speed over owned cells.
+                    h = new.z - ezb
+                    wet = (h > params.quite_small) & (new.zmax > C.NODATA)
+                    hs = jnp.where(wet, h, 1.0)
+                    cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+                    if simplified:
+                        spd = cel
+                    else:
+                        spd = jnp.maximum(jnp.abs(new.qx),
+                                          jnp.abs(new.qy)) / hs + cel
+                    # Only this device's owned cells count (each once).
+                    own = ((gy >= oy) & (gy < oy + r)
+                           & (gx >= ox) & (gx < ox + c))
+                    spd = jnp.where(wet & own, spd, 0.0)
+                    local_max = jnp.max(spd)
+
+                # Max across the mesh (the Allreduce(MIN) analogue).
+                gmax = jax.lax.pmax(jax.lax.pmax(local_max, "my"), "mx")
+                cr = advance(cr, gmax, sync_time, end_time, params.dx,
+                             ts_params)
+                return (new, cr, cm_new), None
+
+            def window_body(wc, _):
+                est, cr, cm = wc
+                est = FlowState(*(_refresh_halos(a) for a in est))
                 if compensated:
-                    new, local_max, cm_new = out
-                    cm_new = jnp.where(ring, cm, cm_new)
-                else:
-                    new, local_max = out
-                    cm_new = None
-                new = FlowState(*(jnp.where(ring, o, v)
-                                  for o, v in zip(st, new)))
-            else:
-                if compensated:
-                    new, cm_new = step_fn(st, estatic, cr.dt, params,
-                                          comp=cm)
-                    cm_new = jnp.where(ring, cm, cm_new)
-                else:
-                    new = step_fn(st, estatic, cr.dt, params)
-                    cm_new = None
-                new = FlowState(*(jnp.where(ring, o, v)
-                                  for o, v in zip(st, new)))
-                # Global lock-step dt: local max speed over owned cells.
-                h = new.z - ezb
-                wet = (h > params.quite_small) & (new.zmax > C.NODATA)
-                hs = jnp.where(wet, h, 1.0)
-                cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
-                if simplified:
-                    spd = cel
-                else:
-                    spd = jnp.maximum(jnp.abs(new.qx),
-                                      jnp.abs(new.qy)) / hs + cel
-                # Only this device's owned cells count (each cell once).
-                own = ((gy >= oy) & (gy < oy + r)
-                       & (gx >= ox) & (gx < ox + c))
-                spd = jnp.where(wet & own, spd, 0.0)
-                local_max = jnp.max(spd)
+                    cm = _refresh_halos(cm)
+                (est, cr, cm), _ = jax.lax.scan(step_body, (est, cr, cm),
+                                                length=window)
+                return (est, cr, cm), None
 
-            # Max across the mesh (the Allreduce(MIN)-on-dt analogue).
-            gmax = jax.lax.pmax(jax.lax.pmax(local_max, "my"), "mx")
-            cr = advance(cr, gmax, sync_time, end_time, params.dx,
-                         ts_params)
-            return (new, cr, cm_new), None
+            est = FlowState(ez, ezmax, eqx, eqy)
+            (est, carry, ecomp), _ = jax.lax.scan(
+                window_body, (est, carry, ecomp), length=n_windows)
 
-        (est, carry, ecomp), _ = jax.lax.scan(body, (est, carry, ecomp),
-                                              length=window)
+            interior = (slice(pad_r, pad_r + r), slice(pad_c, pad_c + c))
+            out_comp = ecomp[interior] if compensated else comp
+            return tuple(a[interior] for a in est), carry, out_comp
 
-        interior = (slice(pad_r, pad_r + r), slice(pad_c, pad_c + c))
-        out_comp = ecomp[interior] if compensated else comp
-        return tuple(a[interior] for a in est), carry, out_comp
+        return local_batch
 
     try:
         shard_map = jax.shard_map
@@ -240,22 +308,26 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                   comp_spec),
         out_specs=((grid_spec,) * 4, P(), comp_spec),
     )
-    try:
-        # pallas_call outputs carry no varying-across-mesh metadata, which
-        # newer jax's shard_map checker rejects.
-        sharded = shard_map(local_window, check_vma=False, **sm_kwargs)
-    except TypeError:                           # older jax: no check_vma
-        sharded = shard_map(local_window, **sm_kwargs)
+
+    def _shard(fn):
+        try:
+            # pallas_call outputs carry no varying-across-mesh metadata,
+            # which newer jax's shard_map checker rejects.
+            return shard_map(fn, check_vma=False, **sm_kwargs)
+        except TypeError:                       # older jax: no check_vma
+            return shard_map(fn, **sm_kwargs)
 
     @partial(jax.jit, static_argnames=("n_steps",),
              donate_argnames=("state", "carry", "comp"))
     def run_batch(state: FlowState, carry: StepCarry, static: DomainStatic,
                   sync_time, comp, n_steps: int):
-        # n_steps counts exchange windows here (window steps each).
-        st = tuple(state)
-        for _ in range(n_steps):
-            st, carry, comp = sharded(st, carry, tuple(static), sync_time,
-                                      comp)
+        # n_steps counts exchange windows here (window steps each).  The
+        # whole batch runs inside ONE shard_map: the state stays in its
+        # halo-extended form across windows (only the halo strips move
+        # per window) and the window/step loops are scans, so the
+        # compiled graph is one-step sized regardless of the batch.
+        st, carry, comp = _shard(make_local_batch(n_steps))(
+            tuple(state), carry, tuple(static), sync_time, comp)
         return FlowState(*st), carry, comp
 
     return run_batch

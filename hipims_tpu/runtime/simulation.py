@@ -124,7 +124,8 @@ class Simulation:
                 r_loc = domain.rows // py
                 c_loc = domain.cols // px
                 pad_r, pad_c = halo_pads(self._mesh_window,
-                                         self.scheme.radius, "pallas")
+                                         self.scheme.radius, "pallas",
+                                         local_rows=r_loc)
                 er, ec = r_loc + 2 * pad_r, c_loc + 2 * pad_c
                 if (pad_r > r_loc or pad_c > c_loc
                         or not _pallas.supports(er, ec,
@@ -184,14 +185,15 @@ class Simulation:
             # src/Domain/CDomainBase.cpp:163-174).
             py, px = mesh.devices.shape
             r_loc, c_loc = domain.rows // py, domain.cols // px
+            lr_arg = r_loc if self.backend == "pallas" else None
             while self._mesh_window > 1:
                 pr, pc = halo_pads(self._mesh_window, self.scheme.radius,
-                                   self.backend)
+                                   self.backend, local_rows=lr_arg)
                 if pr <= r_loc and pc <= c_loc:
                     break
                 self._mesh_window -= 1
             pr, pc = halo_pads(self._mesh_window, self.scheme.radius,
-                               self.backend)
+                               self.backend, local_rows=lr_arg)
             if pr > r_loc or pc > c_loc:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -209,7 +211,8 @@ class Simulation:
                     compensated=self.compensated,
                     backend=self.backend,
                     interpret=self._interpret,
-                    muscl_variant=config.muscl_variant)
+                    muscl_variant=config.muscl_variant,
+                    local_rows=lr_arg)
             self._steps_per_unit = self._mesh_window
         else:
             self._run_batch = self._build_run_batch()
