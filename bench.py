@@ -90,10 +90,12 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
 def main():
     import jax
 
-    # 2816^2 = 7.9 M cells (Thamesmead scale): the amortised regime where
-    # per-pallas_call overhead no longer caps the rate (docs/ROOFLINE.md).
-    rows = int(os.environ.get("BENCH_ROWS", 2816))
-    cols = int(os.environ.get("BENCH_COLS", 2816))
+    # Default 1408^2 compiles in ~40 s on the TPU relay; 2816^2 (7.9 M
+    # cells, the amortised regime — docs/ROOFLINE.md) gains ~6% on MUSCL
+    # and ~40% on Godunov but takes ~13 min of Mosaic compile, so use
+    # BENCH_ROWS/BENCH_COLS=2816 for the headline-chasing runs.
+    rows = int(os.environ.get("BENCH_ROWS", 1408))
+    cols = int(os.environ.get("BENCH_COLS", 1408))
     steps = int(os.environ.get("BENCH_STEPS", 200))
     scheme = os.environ.get("BENCH_SCHEME", "muscl-hancock")
     # The split Pallas MUSCL kernels compile in ~30 s on the TPU relay and

@@ -34,6 +34,11 @@ def parse_args(argv=None):
                     help="multi-host init: 'env' (TPU pods — everything "
                          "from the environment) or "
                          "'coordinator:port,num_processes,process_id'")
+    ap.add_argument("--precision", default=None,
+                    choices=("double", "float", "compensated"),
+                    help="override the XML floatingPointPrecision (e.g. "
+                         "run a reference 'double' model in the "
+                         "compensated f32 mode on TPU)")
     return ap.parse_args(argv)
 
 
@@ -76,6 +81,9 @@ def main(argv=None):
     log.line(f"  Scheme:      {model.config.scheme}")
     log.line(f"  Duration:    {model.config.duration:.0f} s")
     log.line(f"  Output freq: {model.config.output_frequency:.0f} s")
+    if args.precision:
+        model.config.dtype = {"double": "float64", "float": "float32",
+                              "compensated": "float32c"}[args.precision]
     log.line(f"  Grid:        {model.domain.rows} x {model.domain.cols} "
              f"@ {model.domain.dx} m")
     log.line(f"  Precision:   {model.config.dtype}")

@@ -145,6 +145,11 @@ def test_cli_runs(tmp_path, capsys):
     p.write_text(xml)
     from hipims_tpu.cli import main
     assert main(["--config-file", str(p), "--disable-screen"]) == 0
+    # Precision override: the XML default (double) forced to compensated.
+    assert main(["--config-file", str(p), "--disable-screen",
+                 "--precision", "compensated"]) == 0
+    out = capsys.readouterr().out
+    assert "float32c" in out
 
 
 def test_native_codec_matches_python():
