@@ -70,7 +70,9 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     sem_in = refs[n_in + N_PRED + 2]
     sem_out = refs[n_in + N_PRED + 3]
 
-    t = pl.program_id(0)
+    # i32 pin: under an x64-enabled host program_id is i64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    t = _i32(pl.program_id(0))
     n_tiles = pl.num_programs(0)
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
@@ -121,7 +123,9 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     sem_in = refs[n_in + n_out + 3]
     sem_out = refs[n_in + n_out + 4]
 
-    t = pl.program_id(0)
+    # i32 pin: under an x64-enabled host program_id is i64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    t = _i32(pl.program_id(0))
     n_tiles = pl.num_programs(0)
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
@@ -202,7 +206,9 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     sem_in = refs[n_in + 6]
     sem_out = refs[n_in + 7]
 
-    t = pl.program_id(0)
+    # i32 pin: under an x64-enabled host program_id is i64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    t = _i32(pl.program_id(0))
     n_tiles = pl.num_programs(0)
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
@@ -251,7 +257,9 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     sem_in = refs[n_in + n_out + 3]
     sem_out = refs[n_in + n_out + 4]
 
-    t = pl.program_id(0)
+    # i32 pin: under an x64-enabled host program_id is i64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    t = _i32(pl.program_id(0))
     n_tiles = pl.num_programs(0)
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
@@ -269,7 +277,9 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     dt = dt_ref[0, 0]
 
     vs = params.very_small
-    roll = lambda a, s: pltpu.roll(a, s, 1)  # noqa: E731
+    # _i32: a python-int shift binds as an i64 constant under an
+    # x64-enabled host, which Mosaic rejects.
+    roll = lambda a, s: pltpu.roll(a, _i32(s), 1)  # noqa: E731
     zc, zbc = z, zb
     hc = zc - zbc
     qxc, qyc = qx, qy

@@ -102,6 +102,7 @@ def _i32(v):
 
 def _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k):
     ik = _i32(k)
+    slot = _i32(slot)
     if case == "first":
         return pltpu.make_async_copy(
             ins[k].at[pl.ds(0, tr + HALO)],
@@ -110,7 +111,7 @@ def _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k):
         return pltpu.make_async_copy(
             ins[k].at[pl.ds(rows - tr - HALO, tr + HALO)],
             scr.at[slot, ik, pl.ds(0, tr + HALO)], sem.at[slot, ik])
-    start = pl.multiple_of(ti * tr - HALO, 8)
+    start = pl.multiple_of(_i32(ti * tr - HALO), 8)
     return pltpu.make_async_copy(
         ins[k].at[pl.ds(start, tr + 2 * HALO)],
         scr.at[slot, ik], sem.at[slot, ik])
@@ -149,7 +150,8 @@ def wait_halo_load(ins, scr, sem, ti, slot, n_tiles, tr, rows):
 
 
 def start_tile_store(outs, out_scr, sem, ti, slot, tr):
-    start = pl.multiple_of(ti * tr, 8)
+    slot = _i32(slot)
+    start = pl.multiple_of(_i32(ti * tr), 8)
     for k in range(len(outs)):
         ik = _i32(k)
         pltpu.make_async_copy(out_scr.at[slot, ik],
@@ -160,6 +162,7 @@ def start_tile_store(outs, out_scr, sem, ti, slot, tr):
 def wait_tile_store(outs, out_scr, sem, slot, tr):
     # The wait only consumes the semaphore byte count; every store moves
     # the same (tr, cols) block, so a fixed-offset descriptor matches.
+    slot = _i32(slot)
     for k in range(len(outs)):
         ik = _i32(k)
         pltpu.make_async_copy(out_scr.at[slot, ik],
@@ -237,7 +240,9 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     sem_in = refs[n_in + n_out + 3]
     sem_out = refs[n_in + n_out + 4]
 
-    t = pl.program_id(0)
+    # i32 pin: under an x64-enabled host program_id is i64 and
+    # Mosaic's memref_slice rejects i64 indices.
+    t = _i32(pl.program_id(0))
     n_tiles = pl.num_programs(0)
     tr = tile_rows
     # Double-buffered pipeline: prefetch tile t+1 while computing t.

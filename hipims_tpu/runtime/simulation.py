@@ -302,6 +302,14 @@ class Simulation:
             # One host sync per batch (reference: readKeyStatistics).
             t_new = float(self.carry.t)
             elapsed = time.perf_counter() - t0
+            dt_now = float(self.carry.dt)
+            if not (np.isfinite(t_new) and np.isfinite(dt_now)):
+                # Divergence check from the scalars already read back —
+                # the reference's isSimulationFailure ladder
+                # (src/Schemes/CSchemeGodunov.cpp:1523-1555).
+                raise RuntimeError(
+                    f"Simulation diverged (t={t_new}, dt={dt_now}); "
+                    "the CFL wave speed became non-finite")
             self.total_steps = int(self.carry.batch_successful)
             self.total_skipped = int(self.carry.batch_skipped)
             if progress is not None:

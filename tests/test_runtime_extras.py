@@ -206,3 +206,17 @@ def test_gridded_boundary_from_config(tmp_path):
     area = 18 * 18 * 4.0
     expected = 10.0 / 3.6e6 * 60.0 * area
     assert sim.volume() == pytest.approx(expected, rel=0.05)
+
+
+def test_divergence_raises():
+    """A NaN in the state surfaces as a clear error, not an endless spin
+    (reference: isSimulationFailure, CSchemeGodunov.cpp:1523-1555)."""
+    import jax.numpy as jnp
+    import pytest
+
+    sim = Simulation(circular_dam_domain(n=32), _cfg(10.0))
+    z = np.asarray(sim.state.z).copy()
+    z[16, 16] = np.nan
+    sim.state = sim.state._replace(z=jnp.asarray(z))
+    with pytest.raises(RuntimeError, match="diverged"):
+        sim.run()
