@@ -41,8 +41,9 @@ from ..godunov import SchemeParams
 from ..limiters import slope_vector
 from ..muscl import (FaceExtrap, faces_from_base_slopes, first_order_mask,
                      muscl_corrector_full, muscl_predictor_base_slopes)
-from .stencil import (HALO, VMEM_LIMIT, _i32, pick_tile_rows,
-                      pipeline_epilogue, pipeline_prologue, supports)
+from .stencil import (HALO, VMEM_LIMIT, _i32, _x64_scope,
+                      pick_tile_rows, pipeline_epilogue, pipeline_prologue,
+                      supports)
 
 N_PRED = 12   # base(z,h,qx,qy) + sx(4) + sy(4)
 RING = 2      # MUSCL static ring width
@@ -73,7 +74,7 @@ def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     # i32 pin: under an x64-enabled host program_id is i64 and
     # Mosaic's memref_slice rejects i64 indices.
     t = _i32(pl.program_id(0))
-    n_tiles = pl.num_programs(0)
+    n_tiles = _i32(pl.num_programs(0))
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
                                     sem_out, t, n_tiles, tr, rows)
@@ -126,7 +127,7 @@ def _corrector_kernel(dt_ref, *refs, params, tile_rows, rows, cols,
     # i32 pin: under an x64-enabled host program_id is i64 and
     # Mosaic's memref_slice rejects i64 indices.
     t = _i32(pl.program_id(0))
-    n_tiles = pl.num_programs(0)
+    n_tiles = _i32(pl.num_programs(0))
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
                                     sem_out, t, n_tiles, tr, rows)
@@ -209,7 +210,7 @@ def _predictor_base_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
     # i32 pin: under an x64-enabled host program_id is i64 and
     # Mosaic's memref_slice rejects i64 indices.
     t = _i32(pl.program_id(0))
-    n_tiles = pl.num_programs(0)
+    n_tiles = _i32(pl.num_programs(0))
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
                                     sem_out, t, n_tiles, tr, rows)
@@ -260,7 +261,7 @@ def _corrector_recompute_kernel(dt_ref, *refs, params, tile_rows, rows,
     # i32 pin: under an x64-enabled host program_id is i64 and
     # Mosaic's memref_slice rejects i64 indices.
     t = _i32(pl.program_id(0))
-    n_tiles = pl.num_programs(0)
+    n_tiles = _i32(pl.num_programs(0))
     tr = tile_rows
     slot, nslot = pipeline_prologue(ins, outs, scr, out_scr, sem_in,
                                     sem_out, t, n_tiles, tr, rows)
@@ -404,25 +405,27 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
     # ---- kernel P -------------------------------------------------------
     pk = functools.partial(pred_fn, params=params,
                            tile_rows=tile_rows, rows=rows, cols=cols)
-    pred = pl.pallas_call(
-        pk,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_pred,
-            scratch_shapes=[
-                pltpu.VMEM((2, 5, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((2, n_pred, tile_rows, cols), dtype),
-                pltpu.SemaphoreType.DMA((2, 5)),
-                pltpu.SemaphoreType.DMA((2, n_pred)),
-            ]),
-        out_shape=[plane] * n_pred,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
-        interpret=interpret,
-    )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
+    # x64 disabled while tracing f32 pallas_calls: see ops/pallas/stencil.py.
+    with _x64_scope(dtype):
+        pred = pl.pallas_call(
+            pk,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_pred,
+                scratch_shapes=[
+                    pltpu.VMEM((2, 5, tile_rows + 2 * HALO, cols), dtype),
+                    pltpu.VMEM((2, n_pred, tile_rows, cols), dtype),
+                    pltpu.SemaphoreType.DMA((2, 5)),
+                    pltpu.SemaphoreType.DMA((2, n_pred)),
+                ]),
+            out_shape=[plane] * n_pred,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(dt_arr, state.z, state.zmax, state.qx, state.qy, static.zb)
 
     # ---- kernel C -------------------------------------------------------
     ck = functools.partial(corr_fn, params=params,
@@ -441,27 +444,29 @@ def muscl_step_pallas_split(state: FlowState, static: DomainStatic, dt,
                     static.zb, static.manning, *pred]
     if compensated:
         corr_inputs.append(comp)
-    outs = pl.pallas_call(
-        ck,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem_in
-            + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            scratch_shapes=[
-                pltpu.VMEM((2, n_in, tile_rows + 2 * HALO, cols), dtype),
-                pltpu.VMEM((2, n_out, tile_rows, cols), dtype),
-                pltpu.SemaphoreType.DMA((2, n_in)),
-                pltpu.SemaphoreType.DMA((2, n_out)),
-            ]),
-        out_shape=[plane] * n_out
-        + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
-        interpret=interpret,
-    )(*corr_inputs)
+    with _x64_scope(dtype):
+        outs = pl.pallas_call(
+            ck,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem_in
+                + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+                scratch_shapes=[
+                    pltpu.VMEM((2, n_in, tile_rows + 2 * HALO, cols),
+                               dtype),
+                    pltpu.VMEM((2, n_out, tile_rows, cols), dtype),
+                    pltpu.SemaphoreType.DMA((2, n_in)),
+                    pltpu.SemaphoreType.DMA((2, n_out)),
+                ]),
+            out_shape=[plane] * n_out
+            + [jax.ShapeDtypeStruct((n_tiles, 1), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(*corr_inputs)
 
     zo, zmaxo, qxo, qyo = outs[:4]
     speeds = outs[-1]

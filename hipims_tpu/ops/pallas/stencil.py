@@ -100,6 +100,14 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+def _x64_scope(dtype):
+    """x64-disabled tracing scope for f32 kernels (no-op for f64)."""
+    import contextlib
+    if dtype == jnp.float32:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def _halo_copy(ins, scr, sem, ti, slot, case, tr, rows, k):
     ik = _i32(k)
     slot = _i32(slot)
@@ -243,7 +251,7 @@ def _kernel(dt_ref, *refs, scheme: str, params: SchemeParams,
     # i32 pin: under an x64-enabled host program_id is i64 and
     # Mosaic's memref_slice rejects i64 indices.
     t = _i32(pl.program_id(0))
-    n_tiles = pl.num_programs(0)
+    n_tiles = _i32(pl.num_programs(0))
     tr = tile_rows
     # Double-buffered pipeline: prefetch tile t+1 while computing t.
     # scr row HALO+j of a slot holds global row ti*TR+j; the out-of-range
@@ -395,14 +403,19 @@ def stencil_step_pallas(scheme: str, state: FlowState, static: DomainStatic,
     if compensated:
         inputs.append(comp)
 
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
-        interpret=interpret,
-    )(*inputs)
+    # Trace f32 kernels with x64 disabled: under an x64-enabled host the
+    # auto-generated block index maps return i64, which Mosaic rejects
+    # at func.return.  (f64 runs — CPU interpret mode only — keep x64 so
+    # in-kernel literals match the f64 refs.)
+    with _x64_scope(dtype):
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(*inputs)
 
     zo, zmaxo, qxo, qyo = outs[:4]
     speeds = outs[-1]
