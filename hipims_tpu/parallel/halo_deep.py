@@ -328,6 +328,10 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         # compiled graph is one-step sized regardless of the batch.
         st, carry, comp = _shard(make_local_batch(n_steps))(
             tuple(state), carry, tuple(static), sync_time, comp)
+        # NaN/Inf probe, as in Simulation._build_run_batch: divergence
+        # poisons the batch statistic the host reads back.
+        poison = 0.0 * jnp.sum(st[0])
+        carry = carry._replace(batch_dt_total=carry.batch_dt_total + poison)
         return FlowState(*st), carry, comp
 
     return run_batch

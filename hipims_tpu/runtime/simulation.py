@@ -278,6 +278,14 @@ class Simulation:
 
             (state, carry, comp), _ = jax.lax.scan(
                 body, (state, carry, comp), length=n_steps)
+            # NaN/Inf probe: a diverged state never reaches the dt/t
+            # scalars (non-finite cells mask as dry in the CFL), so fold
+            # a zero-scaled state sum into the batch statistic the host
+            # already reads — finite states add -0.0, divergence turns it
+            # NaN (one reduction per batch, not per step).
+            poison = 0.0 * jnp.sum(state.z)
+            carry = carry._replace(
+                batch_dt_total=carry.batch_dt_total + poison)
             return state, carry, comp
 
         return run_batch
@@ -303,10 +311,14 @@ class Simulation:
             t_new = float(self.carry.t)
             elapsed = time.perf_counter() - t0
             dt_now = float(self.carry.dt)
-            if not (np.isfinite(t_new) and np.isfinite(dt_now)):
+            if (not np.isfinite(t_new) or np.isnan(dt_now)
+                    or np.isnan(float(self.carry.batch_dt_total))):
                 # Divergence check from the scalars already read back —
                 # the reference's isSimulationFailure ladder
-                # (src/Schemes/CSchemeGodunov.cpp:1523-1555).
+                # (src/Schemes/CSchemeGodunov.cpp:1523-1555).  dt = +/-inf
+                # is NOT divergence: a fully dry domain has zero wave
+                # speed and legitimately fast-forwards with an unbounded
+                # (then clamped/suspended) timestep.
                 raise RuntimeError(
                     f"Simulation diverged (t={t_new}, dt={dt_now}); "
                     "the CFL wave speed became non-finite")
