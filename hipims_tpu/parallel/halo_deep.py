@@ -6,14 +6,17 @@ limit" = overlap - 1; reference: src/Domain/CDomainBase.cpp:163-174,
 CSchemeGodunov.cpp:1273-1305, README.md:26-29).  The TPU-native equivalent
 implemented here: a ``shard_map`` window that
 
-  1. exchanges K*radius-deep halo strips once (two ppermute phases, rows
-     then columns, which also transports the corner blocks),
-  2. runs K steps on the halo-extended local block — each step invalidates
-     one more halo ring, exactly the reference's shrinking halo validity,
-     with NO rollback needed because the timestep is the global lock-step
-     minimum (a scalar pmax of wave speeds over ICI per step, the analogue
-     of MPI_Allreduce(MIN); reference: src/MPI/CMPIManager.cpp:837-889),
-  3. keeps the interior block.
+  1. keeps the state in a persistently halo-EXTENDED local block for the
+     whole batch (only the halo strips move per window: ppermutes +
+     in-place slice updates, rows then columns so the corner blocks
+     transport in two hops),
+  2. runs K steps per exchange window — each step invalidates one more
+     halo ring, exactly the reference's shrinking halo validity, with NO
+     rollback needed because the timestep is the global lock-step
+     minimum (a scalar pmax of wave speeds over ICI per step, the
+     analogue of MPI_Allreduce(MIN); reference:
+     src/MPI/CMPIManager.cpp:837-889),
+  3. returns the interior block at batch end.
 
 Compared with per-step GSPMD halo exchange this amortises collective
 latency K-fold at the cost of ~2*K*radius*(1/r + 1/c) redundant compute —
@@ -37,37 +40,6 @@ from .. import constants as C
 from ..ops.godunov import SchemeParams
 from ..ops.timestep import TimestepParams, advance
 from ..state import DomainStatic, FlowState, StepCarry
-
-
-def _exchange_extend(arr, pad, axis_name, axis_size):
-    """Extend a local block with ``pad`` rows/cols from mesh neighbours
-    along one axis (axis 0 of the array).  Missing strips at the mesh ends
-    arrive as zeros, which only ever feed masked/static ring cells."""
-    up_perm = [(i, i + 1) for i in range(axis_size - 1)]
-    down_perm = [(i, i - 1) for i in range(1, axis_size)]
-    from_below = jax.lax.ppermute(arr[-pad:], axis_name, up_perm)
-    from_above = jax.lax.ppermute(arr[:pad], axis_name, down_perm)
-    return jnp.concatenate([from_below, arr, from_above], axis=0)
-
-
-def _extend2d(arr, pad_r, pad_c, py, px):
-    """Two-phase halo gather: rows (my) then columns (mx) of the already
-    row-extended array, which transports the corners for free.  Row and
-    column pads may differ (the Pallas backend aligns them to the DMA
-    tile contract)."""
-    out = arr
-    if py > 1:
-        out = _exchange_extend(out, pad_r, "my", py)
-    else:
-        z = jnp.zeros((pad_r,) + out.shape[1:], out.dtype)
-        out = jnp.concatenate([z, out, z], axis=0)
-    out = jnp.swapaxes(out, 0, 1)
-    if px > 1:
-        out = _exchange_extend(out, pad_c, "mx", px)
-    else:
-        z = jnp.zeros((pad_c,) + out.shape[1:], out.dtype)
-        out = jnp.concatenate([z, out, z], axis=0)
-    return jnp.swapaxes(out, 0, 1)
 
 
 def halo_pads(window: int, radius: int, backend: str = "xla",
@@ -132,7 +104,7 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
         """Refresh the halo frame of a persistently-extended array from
         the neighbours' interiors: strip ppermutes + in-place slice
         updates (rows full-width first, then columns full-height, which
-        transports the corners exactly like _extend2d)."""
+        transports the corners in two hops)."""
         er, ec = ext.shape
         r, c = er - 2 * pad_r, ec - 2 * pad_c
         dus = jax.lax.dynamic_update_slice
