@@ -87,6 +87,9 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
     return rows * cols * steps / elapsed, elapsed, sim, carry
 
 
+_T0 = time.monotonic()
+
+
 def main():
     import jax
 
@@ -124,8 +127,16 @@ def main():
     # The precision story in the same line: the compensated-f32 mode (the
     # f64-accuracy-class answer, tests/test_compensated.py) and emulated
     # XLA f64, both against the reference's 159 M cells/s f64 GPU rate.
+    # Deadline guard: when the TPU relay is slow the headline compile
+    # alone can take many minutes — skip the extra cases rather than risk
+    # the whole run being cut off with nothing printed.
     extra = {}
-    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+    deadline = float(os.environ.get("BENCH_EXTRA_DEADLINE", 420.0))
+    if time.monotonic() - _T0 > deadline:
+        print(f"# extras skipped: headline took "
+              f"{time.monotonic() - _T0:.0f}s (> {deadline:.0f}s deadline)",
+              file=sys.stderr)
+    elif os.environ.get("BENCH_SKIP_EXTRA") != "1":
         for dt_, st in (("float32c", steps),
                         ("float64", int(os.environ.get("BENCH_STEPS_F64",
                                                        20)))):
