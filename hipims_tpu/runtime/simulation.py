@@ -337,12 +337,22 @@ class Simulation:
     def _adapt_batch(self, elapsed: float):
         """Size batches toward the wall-clock target, like the reference's
         adaptive queue (src/Schemes/CSchemeGodunov.cpp:1419-1448) but
-        restricted to powers of two so jit caching stays bounded."""
+        restricted to powers of two so jit caching stays bounded.
+
+        The jump goes straight to the power of two nearest the target
+        (each new size is a fresh jit compile — many minutes for the
+        Pallas programs on a slow relay — so halving/doubling repeatedly
+        is expensive, not just slow to converge)."""
         target = self.config.batch_target_seconds
-        if elapsed < target / 2 and self._batch_size < 4096:
-            self._batch_size *= 2
-        elif elapsed > target * 2 and self._batch_size > 8:
-            self._batch_size //= 2
+        if not (elapsed < target / 2 and self._batch_size < 4096) and \
+                not (elapsed > target * 2 and self._batch_size > 8):
+            return
+        per_unit = max(elapsed / self._batch_size, 1e-9)
+        ideal = max(1.0, target / per_unit)
+        size = 8
+        while size * 2 <= min(ideal, 4096):
+            size *= 2
+        self._batch_size = max(8, size)
 
     # ------------------------------------------------------------------
     def run(self, progress: Optional[Callable] = None):
