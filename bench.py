@@ -123,6 +123,11 @@ def main():
         "unit": "cells/s",
         "vs_baseline": round(rate / baselines[dtype], 4),
     }
+    # Land the headline immediately: on a slow relay the extra cases can
+    # take minutes each, and an external timeout must not cost the
+    # primary result.  If the extras complete, the enriched line follows
+    # (first- and last-line parsers both see a valid record).
+    print(json.dumps(out), flush=True)
 
     # The precision story in the same line: the compensated-f32 mode (the
     # f64-accuracy-class answer, tests/test_compensated.py) and emulated
@@ -154,8 +159,7 @@ def main():
                 r / BASELINE_F64, 4)
     if extra:
         out["extra"] = extra
-
-    print(json.dumps(out))
+        print(json.dumps(out), flush=True)
     print(f"# grid={rows}x{cols} steps={steps} elapsed={elapsed:.3f}s "
           f"t_sim={float(carry.t):.3f}s dt={float(carry.dt):.4f}s "
           f"device={device} backend={sim.backend}", file=sys.stderr)
