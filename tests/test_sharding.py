@@ -153,13 +153,16 @@ def test_mesh_pallas_matches_xla(scheme, mesh8):
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
 
-def test_mesh_pallas_forecast_window(mesh8):
+@pytest.mark.parametrize("scheme,window", [("godunov", 3),
+                                           ("muscl-hancock", 2)])
+def test_mesh_pallas_forecast_window(scheme, window, mesh8):
     """Halo-deep windows (several steps per exchange) with the fused
-    kernels."""
-    shd = _run_f32("godunov", mesh8, "pallas", sync="forecast", window=3)
+    kernels — including the radius-2 MUSCL stencil whose validity decays
+    two rings per step."""
+    shd = _run_f32(scheme, mesh8, "pallas", sync="forecast", window=window)
     assert shd.backend == "pallas"
-    assert shd._mesh_window == 3
-    ref = _run_f32("godunov", None, "xla")
+    assert shd._mesh_window == window
+    ref = _run_f32(scheme, None, "xla")
     assert shd.t == pytest.approx(ref.t, rel=1e-6)
     np.testing.assert_allclose(np.asarray(shd.state_logical.z),
                                np.asarray(ref.state_logical.z),
