@@ -55,11 +55,13 @@ RING = 2      # MUSCL static ring width
 #                 corrector recomputes the limited slopes from the state
 #                 tile already resident in VMEM (~92 B/cell at the cost of
 #                 ~2 extra slope_vector evaluations per cell).
-# Measured on a TPU v5 lite chip, 1408x1408 f32, 100-step scan
-# (bench.py --variant sweep, BENCH_r03): recompute wins at every tile size
-# (2.41 vs 1.94 G cells/s at tile_rows=88), consistent with the kernels
-# being HBM-bound.  Env-overridable for experiments.
-DEFAULT_VARIANT = os.environ.get("HIPIMS_MUSCL_VARIANT", "recompute")
+# Measured on a TPU v5 lite chip, 1408x1408 f32, 200-step scan, after the
+# i32 index pinning sped up the VPU side: split12 1.95 vs recompute
+# 1.84 G cells/s — with the arithmetic faster, trading slope recompute
+# flops for HBM bytes no longer pays at this size (it did before: 2.41
+# vs 1.94 in the pre-pinning round).  Env-overridable for experiments;
+# the bench sweep records both.
+DEFAULT_VARIANT = os.environ.get("HIPIMS_MUSCL_VARIANT", "split12")
 
 
 def _predictor_kernel(dt_ref, *refs, params, tile_rows, rows, cols):
