@@ -55,12 +55,13 @@ RING = 2      # MUSCL static ring width
 #                 corrector recomputes the limited slopes from the state
 #                 tile already resident in VMEM (~92 B/cell at the cost of
 #                 ~2 extra slope_vector evaluations per cell).
-# Measured on a TPU v5 lite chip, 1408x1408 f32, 200-step scan, after the
-# i32 index pinning sped up the VPU side: split12 1.95 vs recompute
-# 1.84 G cells/s — with the arithmetic faster, trading slope recompute
-# flops for HBM bytes no longer pays at this size (it did before: 2.41
-# vs 1.94 in the pre-pinning round).  Env-overridable for experiments;
-# the bench sweep records both.
+# Measured on a TPU v5 lite chip, 1408x1408 f32, 200-step scan, after
+# the i32 index pinning sped up the VPU side: the two variants land
+# within the relay's run-to-run variance of each other (split12
+# 1.75-1.95, recompute 1.74-2.02 G cells/s across repeated identical
+# runs) — the pre-pinning 25% recompute advantage is gone.  split12 is
+# the default for its lower VPU load (more headroom for the compensated
+# plane); env-overridable, and the bench sweep records both.
 DEFAULT_VARIANT = os.environ.get("HIPIMS_MUSCL_VARIANT", "split12")
 
 
