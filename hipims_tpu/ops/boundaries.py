@@ -13,6 +13,18 @@ the reference's scheduleIteration ordering
 Uniform and gridded sources are gated by the hydrological accumulator
 (TIMESTEP_HYDROLOGICAL) and use nearest-record lookup; cell boundaries apply
 every step with linear interpolation in time.
+
+Every ``apply`` takes an optional ``origin=(row0, col0)``: the GLOBAL grid
+index of the array's [0, 0] cell.  On a device mesh the halo-deep window
+(parallel/halo_deep.py) hands each boundary its local halo-extended block,
+so position-dependent forcing (gridded georeferencing, cell scatter
+indices) must evaluate in global coordinates — the reference builds the
+same per-domain transform in CBoundaryGridded
+(src/Boundaries/CBoundaryGridded.cpp:116-153 via
+CRasterDataset::createTransformationForDomain) and scatters cell
+boundaries with domain-local indices (src/Boundaries/CBoundaryCell.cpp:
+447-451).  ``origin=None`` (the default) means the array IS the global
+grid.
 """
 
 from __future__ import annotations
@@ -54,7 +66,7 @@ class UniformBoundary:
     is_loss: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None):
+              params: SchemeParams, comp=None, origin=None):
         # Series ride the state dtype — without the cast an x64-enabled
         # host would silently promote the f32 state update to f64.
         values = jnp.asarray(self.values, dtype=state.z.dtype)
@@ -81,6 +93,14 @@ class UniformBoundary:
         # A sub-ulp rainfall increment vanishes in plain f32 (z + delta
         # == z); the compensation plane is what preserves it.
         z_new, comp_new = comp_add(zc, comp[sl], delta)
+        if self.is_loss:
+            # comp_add can round the visible z one ulp below the bed,
+            # where dry keep-masks would freeze the negative depth; clamp
+            # the visible plane at the bed and fold the clamp residue into
+            # comp so the tracked true surface is unchanged.
+            z_clamped = jnp.maximum(static.zb[sl], z_new)
+            comp_new = comp_new - (z_clamped - z_new)
+            z_new = z_clamped
         return (state._replace(z=state.z.at[sl].set(z_new)),
                 comp.at[sl].set(comp_new))
 
@@ -98,16 +118,22 @@ class GriddedBoundary:
     mass_flux: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None):
+              params: SchemeParams, comp=None, origin=None):
         series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount, grows, gcols = series.shape
         ti = jnp.clip((t / self.interval).astype(jnp.int32), 0, tcount - 1)
 
         rows, cols = state.z.shape
-        # Cell centre -> boundary-grid indices (clamped; the reference would
-        # read out of bounds for cells outside the grid).
-        xi = (jnp.arange(cols) * params.dx - self.offset_x) / self.resolution
-        yi = (jnp.arange(rows) * params.dy - self.offset_y) / self.resolution
+        # Cell centre -> boundary-grid indices in GLOBAL grid coordinates
+        # (clamped; the reference would read out of bounds for cells
+        # outside the grid).  ``origin`` georeferences a mesh device's
+        # local block; the reference builds the same per-domain transform
+        # (src/Boundaries/CBoundaryGridded.cpp:116-153).
+        oy, ox = (0, 0) if origin is None else origin
+        xi = ((ox + jnp.arange(cols)) * params.dx
+              - self.offset_x) / self.resolution
+        yi = ((oy + jnp.arange(rows)) * params.dy
+              - self.offset_y) / self.resolution
         ci = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, gcols - 1)
         ri = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, grows - 1)
         rate = series[ti][ri[:, None], ci[None, :]]
@@ -149,7 +175,7 @@ class CellBoundary:
     discharge_mode: int = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None):
+              params: SchemeParams, comp=None, origin=None):
         g = C.GRAVITY
         series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount = series.shape[0]
@@ -161,8 +187,27 @@ class CellBoundary:
 
         live = (dt > 0.0) & (t < self.length)
 
-        zb_c = static.zb[self.rows, self.cols]
-        z_c = state.z[self.rows, self.cols]
+        if origin is None:
+            rr, cc = self.rows, self.cols
+        else:
+            # Mesh mode: map the GLOBAL cell indices onto this device's
+            # local block; cells outside it become (-1, -1), which the
+            # drop-mode scatters below discard (the reference applies cell
+            # boundaries with per-domain local indices,
+            # src/Boundaries/CBoundaryCell.cpp:447-451).  Halo copies of a
+            # forced cell land inside the extended block and receive the
+            # same forcing their owner applies, keeping the halo-deep
+            # window's shrinking-validity invariant.
+            oy, ox = origin
+            lr = jnp.asarray(self.rows, jnp.int32) - oy
+            lc = jnp.asarray(self.cols, jnp.int32) - ox
+            nr, nc = state.z.shape
+            inside = (lr >= 0) & (lr < nr) & (lc >= 0) & (lc < nc)
+            rr = jnp.where(inside, lr, -1)
+            cc = jnp.where(inside, lc, -1)
+
+        zb_c = static.zb[rr, cc]
+        z_c = state.z[rr, cc]
 
         if self.depth_mode == DEPTH_IS_DEPTH:
             z_new = zb_c + ts_depth
@@ -194,39 +239,45 @@ class CellBoundary:
             qx_new = ts_qx * (z_new - zb_c)
             qy_new = ts_qy * (z_new - zb_c)
         else:
-            qx_new = state.qx[self.rows, self.cols]
-            qy_new = state.qy[self.rows, self.cols]
+            qx_new = state.qx[rr, cc]
+            qy_new = state.qy[rr, cc]
 
         z_new = jnp.where(live, z_new, z_c)
-        qx_new = jnp.where(live, qx_new, state.qx[self.rows, self.cols])
-        qy_new = jnp.where(live, qy_new, state.qy[self.rows, self.cols])
+        qx_new = jnp.where(live, qx_new, state.qx[rr, cc])
+        qy_new = jnp.where(live, qy_new, state.qy[rr, cc])
 
+        # mode="drop" discards the (-1, -1) out-of-block entries under a
+        # mesh origin; with origin=None every index is in bounds and drop
+        # is a no-op.
         new = state._replace(
-            z=state.z.at[self.rows, self.cols].set(z_new),
-            qx=state.qx.at[self.rows, self.cols].set(qx_new),
-            qy=state.qy.at[self.rows, self.cols].set(qy_new),
+            z=state.z.at[rr, cc].set(z_new, mode="drop"),
+            qx=state.qx.at[rr, cc].set(qx_new, mode="drop"),
+            qy=state.qy.at[rr, cc].set(qy_new, mode="drop"),
         )
         if comp is None:
             return new
         # The boundary overwrites z outright, so the running-sum residue
         # at forced cells is reset while the forcing is live.
-        comp_cells = jnp.where(live, 0.0, comp[self.rows, self.cols])
-        return new, comp.at[self.rows, self.cols].set(comp_cells)
+        comp_cells = jnp.where(live, 0.0, comp[rr, cc])
+        return new, comp.at[rr, cc].set(comp_cells, mode="drop")
 
 
 Boundaries = Tuple
 
 
 def apply_boundaries(boundaries, state: FlowState, static: DomainStatic,
-                     t, dt, t_hydro, params: SchemeParams, comp=None):
+                     t, dt, t_hydro, params: SchemeParams, comp=None,
+                     origin=None):
     """Apply every configured boundary in order (reference fan-out:
     src/Boundaries/CBoundaryMap.cpp:76-91).  With ``comp`` (compensated-f32
-    z accumulation) returns (state, comp)."""
+    z accumulation) returns (state, comp).  ``origin`` georeferences a
+    mesh-local block (see module docstring)."""
     if comp is None:
         for b in boundaries:
-            state = b.apply(state, static, t, dt, t_hydro, params)
+            state = b.apply(state, static, t, dt, t_hydro, params,
+                            origin=origin)
         return state
     for b in boundaries:
         state, comp = b.apply(state, static, t, dt, t_hydro, params,
-                              comp=comp)
+                              comp=comp, origin=origin)
     return state, comp

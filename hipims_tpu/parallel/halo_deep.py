@@ -23,8 +23,11 @@ latency K-fold at the cost of ~2*K*radius*(1/r + 1/c) redundant compute —
 the same trade the reference makes with its overlap rows, minus the
 unfinished rollback machinery (CModel.cpp:988 "code not yet ready").
 
-Cell-timeseries boundaries need global scatter indices and are not
-supported in this mode (use the GSPMD path); uniform/gridded sources work.
+Boundaries apply per device on the halo-extended local block with
+``origin`` threading the block's global offset, so position-dependent
+forcing (gridded georeferencing, cell scatter indices) evaluates in true
+global coordinates; halo copies of forced cells receive the same forcing
+their owners apply (see ops/boundaries.py module docstring).
 """
 
 from __future__ import annotations
@@ -179,17 +182,20 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
             def step_body(sc, _):
                 st, cr, cm = sc
                 # Boundaries on the extended block (halo copies get the
-                # same forcing their owners apply); the global static
-                # ring must not receive forcing, mirroring the
-                # single-device interior slice.
+                # same forcing their owners apply); position-dependent
+                # forcing evaluates in global coordinates via the block
+                # origin; the global static ring must not receive forcing,
+                # mirroring the single-device interior slice.
                 st_pre, cm_pre = st, cm
+                bdy_origin = (oy - pad_r, ox - pad_c)
                 for b in boundaries:
                     if compensated:
                         st, cm = b.apply(st, estatic, cr.t, cr.dt,
-                                         cr.t_hydro, params, comp=cm)
+                                         cr.t_hydro, params, comp=cm,
+                                         origin=bdy_origin)
                     else:
                         st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
-                                     params)
+                                     params, origin=bdy_origin)
                 st = FlowState(*(jnp.where(ring, o, v)
                                  for o, v in zip(st_pre, st)))
                 if compensated:

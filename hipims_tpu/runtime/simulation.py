@@ -112,25 +112,40 @@ class Simulation:
                              else 1)
         if backend == "pallas" and mesh is not None:
             # Mesh mode runs Pallas through the halo-deep window path
-            # (sync_method "timestep" == a window of 1); cell boundaries
-            # need global scatter and fall back to the GSPMD XLA path.
+            # (sync_method "timestep" == a window of 1).  Boundaries apply
+            # per device in global coordinates via the block origin, so
+            # every boundary type is eligible.  The exchange window
+            # shrinks until its halo pads fit the local blocks AND the
+            # kernel alignment contract holds — the same clamping role the
+            # reference's rollback limit (= overlap - 1) plays
+            # (src/Domain/CDomainBase.cpp:163-174).
             from ..parallel.halo_deep import halo_pads
             py, px = mesh.devices.shape
-            if any(type(b).__name__ == "CellBoundary"
-                   for b in self.boundaries):
+            domain.pad_for_tiles(sublane=8 * py, lane=128 * px)
+            r_loc = domain.rows // py
+            c_loc = domain.cols // px
+
+            def _fits(w):
+                pr, pc = halo_pads(w, self.scheme.radius, "pallas",
+                                   local_rows=r_loc)
+                return (pr <= r_loc and pc <= c_loc
+                        and _pallas.supports(r_loc + 2 * pr, c_loc + 2 * pc,
+                                             scheme=self.scheme.name))
+
+            while self._mesh_window > 1 and not _fits(self._mesh_window):
+                self._mesh_window -= 1
+            if not _fits(self._mesh_window):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Pallas kernels unavailable for %dx%d local blocks "
+                    "(no halo window fits the alignment contract); "
+                    "falling back to the GSPMD XLA backend", r_loc, c_loc)
                 backend = "xla"
-            else:
-                domain.pad_for_tiles(sublane=8 * py, lane=128 * px)
-                r_loc = domain.rows // py
-                c_loc = domain.cols // px
-                pad_r, pad_c = halo_pads(self._mesh_window,
-                                         self.scheme.radius, "pallas",
-                                         local_rows=r_loc)
-                er, ec = r_loc + 2 * pad_r, c_loc + 2 * pad_c
-                if (pad_r > r_loc or pad_c > c_loc
-                        or not _pallas.supports(er, ec,
-                                                scheme=self.scheme.name)):
-                    backend = "xla"
+                # The XLA halo pads are smaller; let the build section
+                # re-derive the widest viable window from scratch.
+                self._mesh_window = (config.forecast_window
+                                     if config.sync_method == "forecast"
+                                     else 1)
         elif backend == "pallas":
             domain.pad_for_tiles()
         # Closed-edge walls span the scheme's full static ring so closed
@@ -174,11 +189,6 @@ class Simulation:
         if mesh is not None and (config.sync_method == "forecast"
                                  or self.backend == "pallas"):
             from ..parallel.halo_deep import build_halo_deep_batch, halo_pads
-            if config.sync_method == "forecast" and any(
-                    type(b).__name__ == "CellBoundary"
-                    for b in self.boundaries):
-                raise ValueError("cell boundaries need global scatter; use "
-                                 "sync_method='timestep'")
             # The halo pads must fit inside each device's block; shrink
             # the exchange window until they do (the reference's rollback
             # limit = overlap-1 plays the same clamping role,

@@ -191,3 +191,32 @@ def test_compensated_simulation_plumbing():
                                       np.asarray(sim.comp))
         np.testing.assert_array_equal(np.asarray(sim2.state.z),
                                       np.asarray(sim.state.z))
+
+
+def test_loss_boundary_clamps_at_bed_compensated():
+    """The loss (infiltration) boundary must never leave the visible f32
+    z below the bed: comp_add can round one ulp low, and dry keep-masks
+    would freeze the negative depth (ADVICE r3).  The clamp residue folds
+    into comp, so the tracked true surface is unchanged."""
+    from hipims_tpu.domain import Domain
+    from hipims_tpu.ops.boundaries import UniformBoundary
+
+    n = 32
+    # A high datum-free bed with a shallow film of water that the loss
+    # rate drains past zero within the run.
+    dom = Domain(zb=np.full((n, n), 10.0), manning=0.03, dx=2.0, dy=2.0)
+    dom.edge_treatment = {e: "open" for e in ("north", "east", "south",
+                                              "west")}
+    dom.set_initial_depth(1e-4)
+    loss = UniformBoundary(values=np.full(4, 500.0), interval=600.0,
+                           length=6000.0, is_loss=True)
+    cfg = SimulationConfig(scheme="godunov", duration=20.0,
+                           output_frequency=20.0, dtype="float32c",
+                           batch_size=8, batch_auto=False)
+    sim = Simulation(dom, cfg, boundaries=(loss,))
+    sim.run()
+    z = np.asarray(sim.state_logical.z, np.float64)
+    zb = np.asarray(sim.static_logical.zb, np.float64)
+    enabled = np.asarray(sim.state_logical.zmax) > -9990.0
+    assert (z[enabled] >= zb[enabled]).all(), (
+        f"visible z fell below bed by {np.max(zb - z):g}")
