@@ -105,9 +105,12 @@ def main(argv=None):
         log.error(f"Invalid model configuration: {e}")
         return 1
     if not coordinator:
-        # Non-coordinator processes compute their shards but must not
-        # double-write rasters (state gathers land on every host).
-        sim.output_writer = None
+        # Non-coordinator processes must run the output path too — its
+        # state gathers are global collectives, so skipping them would
+        # deadlock the cluster at the first output — but must not
+        # double-write files (reference: rank-0-only output,
+        # src/main.cpp:561-578).
+        sim.write_outputs = False
     reporter = ProgressReporter(log, sim, quiet=args.quiet_mode
                                 or not coordinator)
 
@@ -117,8 +120,7 @@ def main(argv=None):
         sim.run(progress=reporter)
     except KeyboardInterrupt:
         log.line("Interrupted — writing final state")
-        if sim.output_writer is not None:
-            sim.output_writer(sim, sim.t)
+        sim.emit_output(sim.t)
         return 2
     wall = time.monotonic() - t0
     reporter.final(wall)

@@ -21,9 +21,17 @@ CHECKPOINT_VERSION = 1
 
 
 def save_checkpoint(path, sim):
-    """Write the simulation's resumable state to an .npz file."""
+    """Write the simulation's resumable state to an .npz file.
+
+    Multi-host safe: sharded arrays are allgathered on EVERY process
+    (non-addressable shards cannot be np.asarray'd, and the gather is a
+    collective that must run symmetrically), then only the coordinator
+    writes the file — the reference's rank-0 output gating
+    (src/main.cpp:561-578)."""
+    import jax
+
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    fetch = sim._fetch_global
     meta = dict(
         version=CHECKPOINT_VERSION,
         scheme=sim.config.scheme,
@@ -37,10 +45,10 @@ def save_checkpoint(path, sim):
     )
     arrays = dict(
         meta=json.dumps(meta),
-        z=np.asarray(sim.state.z),
-        zmax=np.asarray(sim.state.zmax),
-        qx=np.asarray(sim.state.qx),
-        qy=np.asarray(sim.state.qy),
+        z=fetch(sim.state.z),
+        zmax=fetch(sim.state.zmax),
+        qx=fetch(sim.state.qx),
+        qy=fetch(sim.state.qy),
         t=np.asarray(sim.carry.t),
         dt=np.asarray(sim.carry.dt),
         t_hydro=np.asarray(sim.carry.t_hydro),
@@ -51,8 +59,15 @@ def save_checkpoint(path, sim):
     if getattr(sim, "comp", None) is not None:
         # Compensated-f32 residue plane — without it a resume would
         # restart the rounding error from zero (harmless but inexact).
-        arrays["comp"] = np.asarray(sim.comp)
-    np.savez_compressed(path, **arrays)
+        arrays["comp"] = fetch(sim.comp)
+    if jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path, **arrays)
+    if jax.process_count() > 1:
+        # Barrier so a rank resuming right after the save (shared
+        # filesystem) never reads a half-written file.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("hipims_checkpoint_save")
 
 
 def load_checkpoint(path, sim):

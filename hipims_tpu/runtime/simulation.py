@@ -70,6 +70,28 @@ class SimulationConfig:
     forecast_window: int = 8            # steps per exchange in forecast
 
 
+class _OutputSnapshot:
+    """One output event's host-side view of the simulation.
+
+    Built on EVERY process before any rank-gated file write: accessing
+    ``state_logical``/``static_logical`` on a multi-process sharded array
+    is a global collective (process_allgather), so the gathers must run
+    symmetrically on all ranks — gating the whole writer on rank 0 would
+    deadlock the cluster at the first output (the reference gathers on
+    every node and gates only the write, src/main.cpp:561-578).  The
+    snapshot caches the gathered arrays so a writer touching them several
+    times costs one gather set, and delegates everything else to the
+    simulation."""
+
+    def __init__(self, sim: "Simulation"):
+        self._sim = sim
+        self.state_logical = sim.state_logical
+        self.static_logical = sim.static_logical
+
+    def __getattr__(self, name):
+        return getattr(self._sim, name)
+
+
 class Simulation:
     """Single-domain simulation driver."""
 
@@ -81,6 +103,10 @@ class Simulation:
         self.config = config
         self.boundaries = tuple(boundaries)
         self.output_writer = output_writer
+        # Multi-host: every process runs the output path (its gathers are
+        # collectives), but only ranks with write_outputs=True touch the
+        # filesystem.  The CLI clears this on non-coordinators.
+        self.write_outputs = True
         self.scheme: Scheme = get_scheme(config.scheme)
         self.mesh = mesh
 
@@ -365,6 +391,16 @@ class Simulation:
         self._batch_size = max(8, size)
 
     # ------------------------------------------------------------------
+    def emit_output(self, t: float):
+        """Run one output event SPMD-symmetrically: gather the global
+        state on every process (collectives), write files only where
+        write_outputs is set."""
+        if self.output_writer is None:
+            return
+        snap = _OutputSnapshot(self)
+        if self.write_outputs:
+            self.output_writer(snap, t)
+
     def run(self, progress: Optional[Callable] = None):
         """Full run with outputs at every output_frequency interval."""
         cfg = self.config
@@ -373,12 +409,10 @@ class Simulation:
         for i in range(1, n_outputs + 1):
             target = min(i * cfg.output_frequency, cfg.duration)
             self.run_to(target, progress=progress)
-            if self.output_writer is not None:
-                self.output_writer(self, target)
+            self.emit_output(target)
         if float(self.carry.t) < cfg.duration - cfg.sync_tolerance:
             self.run_to(cfg.duration, progress=progress)
-            if self.output_writer is not None:
-                self.output_writer(self, cfg.duration)
+            self.emit_output(cfg.duration)
         return self.state
 
     # ------------------------------------------------------------------

@@ -49,15 +49,45 @@ dom = Domain(zb=zb, manning=0.0, dx=2.0, dy=2.0)
 yy, xx = np.mgrid[0:n, 0:n]
 r = np.hypot((yy - n / 2) * 2.0, (xx - n / 2) * 2.0)
 dom.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
-cfg = SimulationConfig(scheme="godunov", duration=2.0, output_frequency=2.0,
+cfg = SimulationConfig(scheme="godunov", duration=2.0, output_frequency=1.0,
                        batch_size=4, batch_auto=False)
-sim = Simulation(dom, cfg, mesh=make_mesh(8))
+
+# Raster outputs through the SPMD-symmetric path: every rank runs the
+# gathers (collectives), only the coordinator touches the filesystem —
+# asymmetric writers used to deadlock here (ADVICE r3).
+from hipims_tpu.runtime.output import RasterOutputWriter
+raster_dir = os.path.join(outdir, "rasters")
+writer = RasterOutputWriter(
+    [dict(value="depth", format="tif", target="depth_%t.tif")],
+    raster_dir, dom)
+sim = Simulation(dom, cfg, mesh=make_mesh(8), output_writer=writer)
+sim.write_outputs = is_coordinator()
 sim.run()
 
 z = gather_to_host(sim.state.z)          # full global array on every host
 vol = sim.volume()                        # exercises the gathering getters
+
+# Checkpoint/resume across the cluster: the save gathers on every rank
+# (collective) and writes on rank 0 only; the resumed run's continuation
+# is compared against a single-process resume by the pytest driver.
+from hipims_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+ck = os.path.join(outdir, "cluster_ck.npz")
+save_checkpoint(ck, sim)
+cfg2 = SimulationConfig(scheme="godunov", duration=3.0,
+                        output_frequency=3.0, batch_size=4,
+                        batch_auto=False)
+dom2 = Domain(zb=np.zeros((n, n)), manning=0.0, dx=2.0, dy=2.0)
+dom2.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
+sim2 = Simulation(dom2, cfg2, mesh=make_mesh(8))
+load_checkpoint(ck, sim2)
+assert abs(sim2.t - sim.t) < 1e-12
+sim2.run_to(3.0)
+z3 = gather_to_host(sim2.state.z)
+t3 = sim2.t
+
 if is_coordinator():
-    np.savez(os.path.join(outdir, "result.npz"), z=z, t=sim.t, vol=vol)
+    np.savez(os.path.join(outdir, "result.npz"), z=z, t=sim.t, vol=vol,
+             z3=z3, t3=t3)
 else:
     # The coordinator gate: rank 1 must NOT write outputs.
     assert not is_coordinator()
@@ -118,7 +148,7 @@ def test_two_process_cluster_matches_single(tmp_path):
     r = np.hypot((yy - n / 2) * 2.0, (xx - n / 2) * 2.0)
     dom.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
     cfg = SimulationConfig(scheme="godunov", duration=2.0,
-                           output_frequency=2.0, batch_size=4,
+                           output_frequency=1.0, batch_size=4,
                            batch_auto=False)
     ref = Simulation(dom, cfg, mesh=make_mesh(8))
     ref.run()
@@ -130,3 +160,25 @@ def test_two_process_cluster_matches_single(tmp_path):
     assert float(rank1["vol"]) == pytest.approx(float(res["vol"]),
                                                 rel=1e-12)
     assert float(res["vol"]) == pytest.approx(ref.volume(), rel=1e-9)
+
+    # Rank-0-only raster outputs were written through the symmetric path.
+    rasters = sorted(os.listdir(tmp_path / "rasters"))
+    assert len(rasters) == 2 and all(r.startswith("depth_")
+                                     for r in rasters)
+
+    # Cluster checkpoint -> resume matches the single-process resume.
+    from hipims_tpu.runtime.checkpoint import load_checkpoint
+    cfg3 = SimulationConfig(scheme="godunov", duration=3.0,
+                            output_frequency=3.0, batch_size=4,
+                            batch_auto=False)
+    dom3 = Domain(zb=np.zeros((n, n)), manning=0.0, dx=2.0, dy=2.0)
+    yy, xx = np.mgrid[0:n, 0:n]
+    r = np.hypot((yy - n / 2) * 2.0, (xx - n / 2) * 2.0)
+    dom3.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
+    ref3 = Simulation(dom3, cfg3, mesh=make_mesh(8))
+    load_checkpoint(tmp_path / "cluster_ck.npz", ref3)
+    assert ref3.t == pytest.approx(float(res["t"]), abs=1e-12)
+    ref3.run_to(3.0)
+    assert float(res["t3"]) == pytest.approx(ref3.t, abs=1e-9)
+    np.testing.assert_allclose(res["z3"], np.asarray(ref3.state.z),
+                               rtol=1e-7, atol=5e-9)
