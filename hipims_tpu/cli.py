@@ -87,6 +87,13 @@ def main(argv=None):
     log.line(f"  Grid:        {model.domain.rows} x {model.domain.cols} "
              f"@ {model.domain.dx} m")
     log.line(f"  Precision:   {model.config.dtype}")
+    if model.platform_hint and not args.platform:
+        # <executor deviceFilter="CPU"> and no --platform override: honour
+        # the config's platform preference (reference: device-type filter,
+        # src/OpenCL/Executors/CExecutorControlOpenCL.cpp:211-281).
+        import jax
+        jax.config.update("jax_platforms", model.platform_hint)
+        log.line(f"  Platform:    {model.platform_hint} (from deviceFilter)")
 
     mesh = None
     if args.mesh or args.mesh_shape:

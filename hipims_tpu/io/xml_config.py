@@ -64,6 +64,9 @@ class LoadedModel:
     boundaries: list
     output_targets: list
     target_dir: str
+    # Platform preference derived from <executor deviceFilter> (None =
+    # default device); the CLI applies it when --platform is not given.
+    platform_hint: Optional[str] = None
 
     def simulation(self, mesh=None) -> Simulation:
         from ..runtime.output import (CompositeOutputWriter,
@@ -105,6 +108,42 @@ def load_config(path) -> LoadedModel:
     meta = root.find("metadata")
     name = meta.findtext("name", "") if meta is not None else ""
     desc = meta.findtext("description", "") if meta is not None else ""
+
+    # ---- execution (reference: <executor name deviceFilter>, -----------
+    # src/Base/CExecutorControl.cpp:51-98, device filter
+    # src/OpenCL/Executors/CExecutorControlOpenCL.cpp:211-281).  The TPU
+    # runtime has exactly one executor (JAX/XLA); a CPU-only deviceFilter
+    # becomes a platform hint, anything else is acknowledged so no
+    # reference schema attribute is dropped without a signal.
+    platform_hint = None
+    exec_el = root.find("execution")
+    if exec_el is not None:
+        for ex in exec_el.findall("executor"):
+            ex_name = (ex.get("name") or "").strip()
+            if ex_name and ex_name.lower() not in ("opencl", "xla", "jax"):
+                log.warning("%s: unknown executor '%s'; the JAX/XLA "
+                            "executor is used", path.name, ex_name)
+            elif ex_name.lower() == "opencl":
+                log.info("%s: executor 'OpenCL' maps to JAX/XLA on this "
+                         "runtime", path.name)
+            ex_params = _params_of(ex)
+            filt = ex_params.pop("devicefilter", None)
+            if filt is not None:
+                kinds = {k.strip().lower() for k in filt.split(",")
+                         if k.strip()}
+                if kinds == {"cpu"}:
+                    platform_hint = "cpu"
+                    log.info("%s: deviceFilter=CPU -> running on the CPU "
+                             "platform (override with --platform)",
+                             path.name)
+                else:
+                    log.info("%s: <executor deviceFilter='%s'> — "
+                             "accelerator selection is automatic here "
+                             "(TPU when available; --platform overrides)",
+                             path.name, filt)
+            for pname in ex_params:
+                log.warning("%s: ignoring unknown <executor> parameter "
+                            "'%s'", path.name, pname)
 
     sim_el = root.find("simulation")
     if sim_el is None:
@@ -331,13 +370,23 @@ def load_config(path) -> LoadedModel:
 
     return LoadedModel(name=name, description=desc, domain=domain,
                        config=cfg, boundaries=[b for b in bounds if b],
-                       output_targets=targets, target_dir=str(target_dir))
+                       output_targets=targets, target_dir=str(target_dir),
+                       platform_hint=platform_hint)
 
 
 def _parse_domain_block(el, base: Path, path):
     """One <domain> element's data/scheme/boundary sections (reference:
     CDomainManager.cpp:170-241 configures each domain fully)."""
     from types import SimpleNamespace
+
+    dtype_attr = (el.get("type") or "cartesian").strip().lower()
+    if dtype_attr != "cartesian":
+        log.warning("%s: <domain type='%s'> is not supported; treating as "
+                    "cartesian", path.name, dtype_attr)
+    if el.get("deviceNumber") is not None:
+        log.info("%s: <domain deviceNumber='%s'> — device placement is "
+                 "mesh-driven here (--mesh/--mesh-shape); the attribute "
+                 "is ignored", path.name, el.get("deviceNumber"))
 
     data_el = el.find("data")
     source_dir = base / (data_el.get("sourceDir", "") if data_el is not None

@@ -298,3 +298,61 @@ def test_gauge_timeseries_output(tmp_path):
         t, a, b = (float(v) for v in line.split(","))
         assert a == pytest.approx(0.25, abs=1e-6)
         assert b == pytest.approx(0.25, abs=1e-6)
+
+
+def test_xml_executor_element(tmp_path, caplog):
+    """<execution><executor name deviceFilter> is read, not silently
+    dropped: CPU-only filters become a platform hint, anything else is
+    acknowledged at info level, unknown executor params warn (reference
+    schema: README.md:60-63, src/Base/CExecutorControl.cpp:51-98)."""
+    import logging
+    import textwrap
+    dem = Raster(data=np.zeros((8, 16)), xll=0.0, yll=0.0, cell_size=2.0)
+    write_raster(tmp_path / "dem.asc", dem)
+
+    def cfg_with(executor_xml):
+        xml = textwrap.dedent(f"""\
+            <?xml version="1.0"?>
+            <configuration>
+              <metadata><name>E</name><description>d</description></metadata>
+              <execution>{executor_xml}</execution>
+              <simulation>
+                <parameter name="duration" value="10" />
+                <domainSet>
+                  <domain type="cartesian">
+                    <data sourceDir="" targetDir="out/">
+                      <dataSource type="raster" value="structure,dem"
+                                  source="dem.asc" />
+                    </data>
+                  </domain>
+                </domainSet>
+              </simulation>
+            </configuration>
+        """)
+        p = tmp_path / "m.xml"
+        p.write_text(xml)
+        return p
+
+    from hipims_tpu.io.xml_config import load_config
+
+    p = cfg_with('<executor name="OpenCL">'
+                 '<parameter name="deviceFilter" value="CPU" /></executor>')
+    model = load_config(p)
+    assert model.platform_hint == "cpu"
+
+    with caplog.at_level(logging.INFO, logger="hipims_tpu.config"):
+        p = cfg_with('<executor name="OpenCL">'
+                     '<parameter name="deviceFilter" value="GPU" />'
+                     '</executor>')
+        model = load_config(p)
+    assert model.platform_hint is None
+    assert any("deviceFilter" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hipims_tpu.config"):
+        p = cfg_with('<executor name="CUDA">'
+                     '<parameter name="bogus" value="1" /></executor>')
+        load_config(p)
+    msgs = [r.message for r in caplog.records]
+    assert any("unknown executor" in m for m in msgs)
+    assert any("bogus" in m for m in msgs)
