@@ -49,18 +49,21 @@ def build_domain(rows, cols):
     return dom
 
 
-def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps):
+def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps,
+             mesh_n=None):
     """Return (rate_cells_per_s, elapsed, sim) for one configuration."""
     import jax.numpy as jnp
 
     from hipims_tpu.runtime import Simulation, SimulationConfig
 
     mesh = None
-    if os.environ.get("BENCH_MESH"):
+    if mesh_n is None and os.environ.get("BENCH_MESH"):
+        mesh_n = int(os.environ["BENCH_MESH"])
+    if mesh_n:
         # N-device mesh (halo-deep shard_map path; 1 validates that the
         # fused kernels keep their rate under the mesh machinery).
         from hipims_tpu.parallel import make_mesh
-        mesh = make_mesh(int(os.environ["BENCH_MESH"]))
+        mesh = make_mesh(mesh_n)
 
     cfg = SimulationConfig(scheme=scheme, duration=1e9,
                            output_frequency=1e9, dtype=dtype,
@@ -157,6 +160,22 @@ def main():
             extra[f"{suffixes[dt_]}_cells_per_s"] = round(r, 1)
             extra[f"{suffixes[dt_]}_vs_f64_baseline"] = round(
                 r / BASELINE_F64, 4)
+        # Mesh-mode rate on the same grid (1-device mesh: the full
+        # halo-deep shard_map machinery — persistent extended blocks,
+        # ppermute strips, windowed scan — so BENCH_rN.json itself
+        # evidences the multi-chip-path perf parity claim).
+        if time.monotonic() - _T0 <= deadline:
+            try:
+                r, _, sm, _ = run_case(scheme, dtype, backend, variant,
+                                       rows, cols, steps,
+                                       max(1, reps - 1), mesh_n=1)
+                extra["mesh1_cells_per_s"] = round(r, 1)
+                extra["mesh1_frac_of_fused"] = round(r / rate, 4)
+                extra["mesh1_backend"] = sm.backend
+            except Exception as e:  # noqa: BLE001
+                print(f"# mesh extra failed: {e}", file=sys.stderr)
+        else:
+            print("# mesh extra skipped: deadline", file=sys.stderr)
     if extra:
         out["extra"] = extra
         print(json.dumps(out), flush=True)

@@ -39,6 +39,12 @@ def parse_args(argv=None):
                     help="override the XML floatingPointPrecision (e.g. "
                          "run a reference 'double' model in the "
                          "compensated f32 mode on TPU)")
+    ap.add_argument("--checkpoint", default=None, metavar="FILE",
+                    help="(re)write a resumable checkpoint (.npz) at "
+                         "every output time")
+    ap.add_argument("--resume", default=None, metavar="FILE",
+                    help="resume from a checkpoint written with "
+                         "--checkpoint (skips already-written outputs)")
     return ap.parse_args(argv)
 
 
@@ -118,6 +124,16 @@ def main(argv=None):
         # double-write files (reference: rank-0-only output,
         # src/main.cpp:561-578).
         sim.write_outputs = False
+    if args.resume:
+        from .runtime.checkpoint import load_checkpoint
+        try:
+            load_checkpoint(args.resume, sim)
+        except (ValueError, FileNotFoundError) as e:
+            log.error(f"Cannot resume: {e}")
+            return 1
+        log.line(f"  Resumed:     t={sim.t:.1f} s from {args.resume}")
+    if args.checkpoint:
+        sim.checkpoint_path = args.checkpoint
     reporter = ProgressReporter(log, sim, quiet=args.quiet_mode
                                 or not coordinator)
 

@@ -120,7 +120,8 @@ def load_config(path) -> LoadedModel:
     if exec_el is not None:
         for ex in exec_el.findall("executor"):
             ex_name = (ex.get("name") or "").strip()
-            if ex_name and ex_name.lower() not in ("opencl", "xla", "jax"):
+            if ex_name and ex_name.lower() not in ("opencl", "xla", "jax",
+                                                   "tpu"):
                 log.warning("%s: unknown executor '%s'; the JAX/XLA "
                             "executor is used", path.name, ex_name)
             elif ex_name.lower() == "opencl":

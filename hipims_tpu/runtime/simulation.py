@@ -107,6 +107,10 @@ class Simulation:
         # collectives), but only ranks with write_outputs=True touch the
         # filesystem.  The CLI clears this on non-coordinators.
         self.write_outputs = True
+        # When set, a resumable checkpoint is (re)written at every output
+        # event (save_checkpoint is itself collective-symmetric and
+        # rank-0-gated, so this is safe on every rank).
+        self.checkpoint_path = None
         self.scheme: Scheme = get_scheme(config.scheme)
         self.mesh = mesh
 
@@ -395,6 +399,9 @@ class Simulation:
         """Run one output event SPMD-symmetrically: gather the global
         state on every process (collectives), write files only where
         write_outputs is set."""
+        if self.checkpoint_path is not None:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, self)
         if self.output_writer is None:
             return
         snap = _OutputSnapshot(self)
@@ -402,12 +409,17 @@ class Simulation:
             self.output_writer(snap, t)
 
     def run(self, progress: Optional[Callable] = None):
-        """Full run with outputs at every output_frequency interval."""
+        """Full run with outputs at every output_frequency interval.
+        On a resumed simulation, output events before the resume time are
+        skipped (they belong to the original run)."""
         cfg = self.config
         self.wall_start = time.monotonic()
+        t_start = float(self.carry.t)
         n_outputs = int(round(cfg.duration / cfg.output_frequency))
         for i in range(1, n_outputs + 1):
             target = min(i * cfg.output_frequency, cfg.duration)
+            if target <= t_start + cfg.sync_tolerance:
+                continue
             self.run_to(target, progress=progress)
             self.emit_output(target)
         if float(self.carry.t) < cfg.duration - cfg.sync_tolerance:

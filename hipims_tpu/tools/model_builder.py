@@ -392,59 +392,100 @@ def build_dam_break_emerging_bed(directory, name="dam-break-emerging-bed",
                  depth=depth, validation=validation, **kw)
 
 
+# Gauge positions for the Soares-Frazao & Zech (2007) flume, in the
+# paper's coordinate system (origin at the downstream gate edge on the
+# channel centreline, x downstream, y toward the G1/G3 bank) — read off
+# the experiment sketch (reference resources:
+# tools/model-builder/tests/resources/dam-break-against-obstacle/
+# UCL_obstacle.TIF; gauge records building_gauges_h.txt).
+OBSTACLE_GAUGES = {"G1": (2.65, 1.15), "G2": (2.65, -0.60),
+                   "G3": (4.00, 1.15), "G4": (4.00, -0.80),
+                   "G5": (5.20, 0.30), "G6": (-1.87, 1.10)}
+# Downstream gate edge / centreline in flume coordinates (x from the
+# reservoir back wall, y from the G2/G4-side toe of the bank).
+OBSTACLE_GATE_X = 7.55
+OBSTACLE_CENTRE_Y = 1.8
+
+
+def obstacle_flume_bed(xx, yy):
+    """Bed elevation of the Soares-Frazao & Zech flume at points (xx, yy)
+    in flume coordinates (x in [0, 35.8], y in [0, 3.6]).  Faithful to
+    the experiment sketch and the reference generator
+    (tools/model-builder/tests/TestDamBreakAgainstObstacle.js:46-140):
+
+    - trapezoidal banks, 0.155 m high over the outer 0.34 m each side;
+    - a 0.80 m thick gate wall at x in [6.75, 7.55] with a 1.00 m
+      central opening, extruded 0.50 m;
+    - the 0.80 m x 0.40 m building rotated 64 degrees with its west
+      corner at (10.99, 1.75) (= (3.44, -0.05) in gate coordinates),
+      extruded 0.50 m.
+    """
+    z = np.zeros_like(xx)
+    edge = np.minimum(yy, 3.6 - yy)
+    bank = np.maximum(0.155 * (1.0 - edge / 0.34), 0.0)
+    z = np.maximum(z, np.where(edge < 0.34, bank, 0.0))
+
+    gate = ((xx >= 6.75) & (xx <= 7.55)
+            & (np.abs(yy - OBSTACLE_CENTRE_Y) >= 0.5))
+    z = np.where(gate, 0.5, z)
+
+    th = np.deg2rad(64.0)
+    lx, ly = np.cos(th), np.sin(th)          # long (0.80 m) side
+    sx, sy = np.sin(th), -np.cos(th)         # short (0.40 m) side
+    px, py = xx - 10.99, yy - 1.75
+    u = px * lx + py * ly
+    v = px * sx + py * sy
+    inside = (u >= 0.0) & (u <= 0.80) & (v >= 0.0) & (v <= 0.40)
+    return np.where(inside, 0.5, z)
+
+
 def build_dam_break_obstacle(directory, name="dam-break-obstacle",
                              resolution=0.1, duration=30.0,
                              scheme="muscl-hancock", **kw):
     """Dam break against an isolated obstacle: the Soares-Frazao & Zech
     (2007) laboratory flume (reference analogue:
     TestDamBreakAgainstObstacle.js + tests/resources/
-    dam-break-against-obstacle/).  Geometry after the paper: a 35.8 m x
-    3.6 m channel, a reservoir behind a 1 m wide gate at x = 6.75 m,
-    initial depths 0.40 m (reservoir) / 0.02 m (downstream), Manning
-    n = 0.01, and a 0.80 m x 0.40 m building rotated 64 degrees placed
-    ~3.4 m downstream of the gate.  Emits the six gauge locations around
-    the building as boundaries/gauges.csv for comparison against the
-    published measurements (not bundled here)."""
+    dam-break-against-obstacle/).  Geometry after the experiment sketch:
+    a 35.8 m x 3.6 m channel with 0.155 m trapezoidal banks, a reservoir
+    behind a 0.8 m thick gate wall with a 1 m central opening at
+    x = 6.75 m, initial depths 0.40 m (reservoir) / 0.02 m (channel),
+    Manning n = 0.01, and a 0.80 m x 0.40 m building rotated 64 degrees
+    with its west corner 3.44 m downstream of the gate.  Emits the six
+    measurement gauge locations as boundaries/gauges.csv; the measured
+    records live in the reference resources
+    (building_gauges_h.txt, building_vel_t*.txt) and are asserted
+    against in tests/test_flume_validation.py."""
     length, width = 35.8, 3.6
-    n_x = int(round(length / resolution))
-    n_y = int(round(width / resolution))
-    zb = np.zeros((n_y, n_x))
+    wall = 2 if scheme == "muscl-hancock" else 1   # closed-edge ring width
+    n_x = int(round(length / resolution)) + 2 * wall
+    n_y = int(round(width / resolution)) + 2 * wall
+    xll = yll = -wall * resolution
 
-    xc = (np.arange(n_x) + 0.5) * resolution
-    yc = (np.arange(n_y) + 0.5) * resolution
+    # Cell centres in flume coordinates (interior spans [0, L] x [0, W];
+    # the extra border rings become the closed-edge walls, so the walls
+    # sit OUTSIDE the flume instead of eating bank cells).
+    xc = xll + (np.arange(n_x) + 0.5) * resolution
+    yc = yll + (np.arange(n_y) + 0.5) * resolution
     xx, yy = np.meshgrid(xc, yc)
 
-    gate_x = 6.75
-    gate_half_w = 0.5
-    # Gate wall: a one-cell-thick wall across the channel with a 1 m
-    # central opening.
-    gi = int(round(gate_x / resolution))
-    wall = np.abs(yc - width / 2) > gate_half_w
-    zb[wall, gi] = 9999.9
+    zb = obstacle_flume_bed(np.clip(xx, 0.0, length),
+                            np.clip(yy, 0.0, width))
 
-    # Rotated building footprint: cell centres inside the rotated rect.
-    bx, by = gate_x + 3.4, width / 2 - 0.2   # building centre
-    blen, bwid = 0.80, 0.40
-    theta = np.deg2rad(64.0)
-    xr = (xx - bx) * np.cos(theta) + (yy - by) * np.sin(theta)
-    yr = -(xx - bx) * np.sin(theta) + (yy - by) * np.cos(theta)
-    inside = (np.abs(xr) <= blen / 2) & (np.abs(yr) <= bwid / 2)
-    zb[inside] = 9999.9
+    # Initial state: 0.40 m reservoir level up to the downstream gate
+    # edge, 0.02 m in the channel; dry where the bed out-extrudes it.
+    depth = np.where(xx < OBSTACLE_GATE_X,
+                     np.maximum(0.40 - zb, 0.0),
+                     np.maximum(0.02 - zb, 0.0))
 
-    depth = np.where(xx < gate_x, 0.40, 0.02)
-    depth[zb > 9000] = 0.0
-
-    # Gauge positions around the building (paper's G1-G6 layout).
-    gauges = [(bx - 0.8, by + 0.5, "G1"), (bx - 0.4, by + 0.3, "G2"),
-              (bx - 0.4, by - 0.3, "G3"), (bx + 0.4, by + 0.3, "G4"),
-              (bx + 0.4, by - 0.3, "G5"), (bx + 0.8, by - 0.5, "G6")]
+    gauges = [(OBSTACLE_GATE_X + gx, OBSTACLE_CENTRE_Y + gy, name_)
+              for name_, (gx, gy) in OBSTACLE_GAUGES.items()]
 
     return _emit(directory, name,
                  "Dam break against an isolated obstacle "
                  "(Soares-Frazao & Zech 2007 flume)", zb, {},
                  duration, duration / 6, scheme=scheme,
                  resolution=resolution, manning=0.01, friction="yes",
-                 depth=depth, gauges=gauges, **kw)
+                 depth=depth, gauges=gauges, xll=xll, yll=yll, **kw)
 
 
 BUILDERS = {

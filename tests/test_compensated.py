@@ -220,3 +220,68 @@ def test_loss_boundary_clamps_at_bed_compensated():
     enabled = np.asarray(sim.state_logical.zmax) > -9990.0
     assert (z[enabled] >= zb[enabled]).all(), (
         f"visible z fell below bed by {np.max(zb - z):g}")
+
+
+@pytest.mark.slow
+def test_high_datum_10m_drainage_stress():
+    """The papers' failure regime, end to end: a 10 m-resolution
+    catchment at a ~420 m datum with long-duration rainfall + drainage
+    (urban-flood-jhi tex:338-339 measures >0.1 m mean depth errors and
+    broken mass conservation for plain f32 on a 10 m DEM).  Per-step
+    increments (rain ~7e-6 m per hydrological step, dt*flux) sit below
+    ulp of the datum-shifted surface (~3e-5 m at 100 m relief), so plain
+    f32 MUST fail the papers' 0.01 m mean-depth anchor here (61% volume
+    error measured) while compensated f32 passes it (0.004 m mean,
+    0.03% volume)."""
+    import time
+
+    from hipims_tpu.domain import Domain
+    from hipims_tpu.ops.boundaries import UniformBoundary
+
+    def build(dtype):
+        n = 128
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:n, 0:n] * 10.0
+        zb = (420.0 + 0.08 * xx * (1 + 0.2 * np.sin(yy / 200.0))
+              + 2.0 * np.sin(xx / 97.0) * np.sin(yy / 53.0))
+        zb += rng.normal(0, 0.05, zb.shape)
+        dom = Domain(zb=zb, manning=0.05, dx=10.0, dy=10.0)
+        dom.set_initial_depth(0.0)
+        rain = UniformBoundary(values=np.array([25.0, 25.0, 0.0, 0.0]),
+                               interval=1800.0, length=7200.0,
+                               is_loss=False)
+        drain = UniformBoundary(values=np.full(4, 3.0), interval=1800.0,
+                                length=7200.0, is_loss=True)
+        cfg = SimulationConfig(scheme="godunov", duration=7200.0,
+                               output_frequency=7200.0, dtype=dtype,
+                               batch_size=64)
+        return Simulation(dom, cfg, boundaries=(rain, drain))
+
+    h = {}
+    for dtype in ("float64", "float32", "float32c"):
+        sim = build(dtype)
+        if dtype != "float64":
+            assert sim.domain.datum == 419.0   # shift engaged
+        sim.run()
+        h[dtype] = sim.depth()
+
+    h64 = h["float64"]
+    vol64 = h64.sum()
+
+    def stats(dtype):
+        dh = np.abs(h[dtype] - h64)
+        wet = (h64 > 0.001) | (h[dtype] > 0.001)
+        return (float(dh[wet].mean()), float(dh.max()),
+                float(abs(h[dtype].sum() - vol64) / vol64))
+
+    mean32, max32, vol32 = stats("float32")
+    mean32c, max32c, vol32c = stats("float32c")
+
+    # The regime genuinely stresses single precision (otherwise this
+    # test proves nothing): plain f32 fails the anchor outright.
+    assert mean32 > 0.01 and vol32 > 0.1
+
+    # Compensated f32 meets the papers' f64-class anchor.
+    assert mean32c < 0.01, f"f32c mean |dh| = {mean32c:.4f} m"
+    assert max32c < 0.1, f"f32c max |dh| = {max32c:.3f} m"
+    assert vol32c < 2e-3, f"f32c volume error = {vol32c:.2e}"

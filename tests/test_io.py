@@ -356,3 +356,60 @@ def test_xml_executor_element(tmp_path, caplog):
     msgs = [r.message for r in caplog.records]
     assert any("unknown executor" in m for m in msgs)
     assert any("bogus" in m for m in msgs)
+
+
+def test_cli_checkpoint_resume(tmp_path, capsys):
+    """--checkpoint writes a resumable checkpoint at every output time;
+    --resume continues from it, skipping already-written outputs, and
+    the resumed end state matches an uninterrupted run exactly."""
+    dem = Raster(data=np.zeros((16, 16)), cell_size=2.0)
+    write_raster(tmp_path / "dem.asc", dem)
+    xml = """<?xml version="1.0"?>
+    <configuration>
+      <metadata><name>CK</name></metadata>
+      <simulation>
+        <parameter name="duration" value="{dur}" />
+        <parameter name="outputFrequency" value="5" />
+        <domainSet><domain type="cartesian">
+          <data sourceDir="." targetDir="{out}/">
+            <dataSource type="constant" value="depth" source="0.1" />
+            <dataSource type="constant" value="manningCoefficient"
+                        source="0.03" />
+            <dataSource type="raster" value="structure,dem"
+                        source="dem.asc" />
+            <dataTarget type="raster" value="depth" format="GTiff"
+                        target="depth_%t.tif" />
+          </data>
+          <scheme name="Godunov" />
+        </domain></domainSet>
+      </simulation>
+    </configuration>"""
+    from hipims_tpu.cli import main
+
+    # Uninterrupted 10 s run.
+    (tmp_path / "full.xml").write_text(xml.format(dur=10, out="out_full"))
+    assert main(["-c", str(tmp_path / "full.xml"), "-n"]) == 0
+
+    # Interrupted: run to 5 s with a checkpoint, then resume to 10 s.
+    (tmp_path / "half.xml").write_text(xml.format(dur=5, out="out_half"))
+    ck = tmp_path / "run.npz"
+    assert main(["-c", str(tmp_path / "half.xml"), "-n",
+                 "--checkpoint", str(ck)]) == 0
+    assert ck.exists()
+    (tmp_path / "rest.xml").write_text(xml.format(dur=10, out="out_rest"))
+    assert main(["-c", str(tmp_path / "rest.xml"), "-n",
+                 "--resume", str(ck)]) == 0
+    assert "Resumed" in capsys.readouterr().out
+
+    # The resumed run skipped the t=5 output (it belongs to the first
+    # leg) and wrote only t=10.
+    rest = sorted(p.name for p in (tmp_path / "out_rest").glob("*.tif"))
+    assert rest == ["depth_10.tif"]
+
+    a = read_raster(tmp_path / "out_full" / "depth_10.tif").data
+    b = read_raster(tmp_path / "out_rest" / "depth_10.tif").data
+    np.testing.assert_array_equal(a, b)
+
+    # A bad resume target errors cleanly.
+    assert main(["-c", str(tmp_path / "rest.xml"), "-n",
+                 "--resume", str(tmp_path / "missing.npz")]) == 1

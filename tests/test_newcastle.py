@@ -78,14 +78,19 @@ def test_newcastle_model_runs(model_dir):
 
 @pytest.mark.slow
 def test_newcastle_full_duration_golden(model_dir):
-    """Full 7200 s regression against the committed golden artifact
-    (BASELINE.md target 3).  The golden was produced by this framework's
-    f64 CPU path (tests/data/newcastle_golden.json); any numerics change
-    that moves the solution shows up here."""
+    """Full 7200 s regression against the committed golden artifacts
+    (BASELINE.md target 3: per-cell allclose on the prognostic fields
+    after 7200 s).  The goldens were produced by this framework's f64 CPU
+    path (tests/data/newcastle_golden.json volume trajectory +
+    newcastle_golden_fields.npz full h/qx/qy fields, regenerable with
+    tools/make_newcastle_golden.py, which cross-checks the trajectory);
+    any numerics change that moves the solution shows up here."""
     import json
 
     gold_path = Path(__file__).parent / "data" / "newcastle_golden.json"
-    if not gold_path.exists():
+    fields_path = (Path(__file__).parent / "data"
+                   / "newcastle_golden_fields.npz")
+    if not gold_path.exists() or not fields_path.exists():
         pytest.skip("golden artifact not generated yet")
     gold = json.loads(gold_path.read_text())
 
@@ -103,9 +108,60 @@ def test_newcastle_full_duration_golden(model_dir):
     assert float(h.mean()) == pytest.approx(gold["depth_mean"], rel=1e-6)
     assert float(h.max()) == pytest.approx(gold["depth_max"], rel=1e-4)
     assert int((h > 0.01).sum()) == pytest.approx(gold["wet_cells"], abs=5)
-    blocks = h[:192, :336].reshape(8, 24, 8, 42).mean(axis=(1, 3))
-    np.testing.assert_allclose(blocks, np.asarray(gold["block_means"]),
-                               rtol=1e-4, atol=1e-7)
+
+    # Per-cell allclose on the full prognostic fields (z, qx, qy) — a
+    # systematic error pattern inside any region now fails outright.
+    with np.load(fields_path) as gf:
+        st = sim.state_logical
+        np.testing.assert_allclose(np.asarray(st.z), gf["z"],
+                                   rtol=0, atol=1e-6, err_msg="z")
+        np.testing.assert_allclose(np.asarray(st.qx), gf["qx"],
+                                   rtol=0, atol=1e-6, err_msg="qx")
+        np.testing.assert_allclose(np.asarray(st.qy), gf["qy"],
+                                   rtol=0, atol=1e-6, err_msg="qy")
+        np.testing.assert_allclose(np.asarray(st.zmax), gf["zmax"],
+                                   rtol=0, atol=1e-6, err_msg="zmax")
+
+
+@pytest.mark.slow
+def test_newcastle_f32c_field_level_accuracy(model_dir):
+    """The papers' accuracy anchor, asserted at field level on the real
+    model: 32-bit arithmetic must keep MEAN per-cell depth error below
+    0.01 m (urban-flood-jhi tex:338-339 reports >0.1 m mean errors for
+    plain f32 on a 10 m DEM; 64-bit is the reference's default for this
+    reason).  The compensated-f32 mode runs the full 7200 s and is
+    compared per cell against the committed f64 golden fields."""
+    fields_path = (Path(__file__).parent / "data"
+                   / "newcastle_golden_fields.npz")
+    if not fields_path.exists():
+        pytest.skip("golden artifact not generated yet")
+
+    from hipims_tpu.io.xml_config import load_config
+
+    model = load_config(model_dir / "newcastle-centre.xml")
+    model.config.dtype = "float32c"
+    sim = model.simulation()
+    sim.output_writer = None
+    sim.run_to(7200.0)
+    assert sim.domain.datum == 43.0
+
+    with np.load(fields_path) as gf:
+        zb = gf["zb"]
+        h64 = np.maximum(gf["z"] - zb, 0.0)
+        h64[gf["zmax"] <= -9990.0] = 0.0
+    h32c = sim.depth()
+
+    dh = np.abs(h32c - h64)
+    wet = (h64 > 0.01) | (h32c > 0.01)
+    mean_err = float(dh[wet].mean())
+    max_err = float(dh.max())
+    vol_err = abs(h32c.sum() - h64.sum()) / h64.sum()
+    # Papers' anchor: mean depth error < 0.01 m.  Max error is bounded
+    # too (measured ~2e-3 mean-wet / ~0.2 max on this model; the bounds
+    # leave ~2x headroom while still failing a precision regression).
+    assert mean_err < 0.01, f"mean wet-cell |dh| = {mean_err:.4f} m"
+    assert max_err < 0.5, f"max |dh| = {max_err:.3f} m"
+    assert vol_err < 1e-3, f"volume error {vol_err:.2e}"
 
 
 def test_newcastle_compensated_tracks_f64_golden(model_dir):
