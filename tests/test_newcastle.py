@@ -156,9 +156,11 @@ def test_newcastle_f32c_field_level_accuracy(model_dir):
     mean_err = float(dh[wet].mean())
     max_err = float(dh.max())
     vol_err = abs(h32c.sum() - h64.sum()) / h64.sum()
-    # Papers' anchor: mean depth error < 0.01 m.  Max error is bounded
-    # too (measured ~2e-3 mean-wet / ~0.2 max on this model; the bounds
-    # leave ~2x headroom while still failing a precision regression).
+    print(f"\nf32c vs f64 @7200s: mean wet |dh|={mean_err:.2e} m, "
+          f"max |dh|={max_err:.3f} m, volume err={vol_err:.2e}")
+    # Papers' anchor: mean depth error < 0.01 m; max and volume errors
+    # bounded too (the bounds leave headroom over the measured values —
+    # printed above — while still failing a precision regression).
     assert mean_err < 0.01, f"mean wet-cell |dh| = {mean_err:.4f} m"
     assert max_err < 0.5, f"max |dh| = {max_err:.3f} m"
     assert vol_err < 1e-3, f"volume error {vol_err:.2e}"
