@@ -40,6 +40,8 @@ class SimulationHandle:
         self._thread: Optional[threading.Thread] = None
         self._abort = threading.Event()
         self._error: Optional[BaseException] = None
+        self._progress_cbs = []
+        self._output_cbs = []
 
     # -- reference: SimulationLaunch (main.cpp:202-230) -----------------
     def launch(self, blocking=True):
@@ -61,6 +63,34 @@ class SimulationHandle:
     def _progress_cb(self, sim, t_now, elapsed):
         if self._abort.is_set():
             raise _Aborted()
+        for cb in self._progress_cbs:
+            cb(self, t_now, elapsed)
+
+    # -- push-style callbacks (the DLL's visualisation surface) ----------
+    def on_progress(self, callback):
+        """Register callback(handle, t_now, batch_elapsed), fired once per
+        device batch (the reference GUI's progress stream)."""
+        self._progress_cbs.append(callback)
+        return self
+
+    def on_output(self, callback):
+        """Register callback(handle, t), fired at every output time with
+        the state already gathered — use handle.field(...) inside it for
+        visualisation frames (the reference DLL's cell-data callbacks,
+        src/main.h:99-154).  Rides the simulation's writer chain so the
+        timing matches file outputs exactly."""
+        if not self._output_cbs:
+            inner_writer = self._sim.output_writer
+
+            def chained(sim_view, t):
+                if inner_writer is not None:
+                    inner_writer(sim_view, t)
+                for cb in self._output_cbs:
+                    cb(self, t)
+
+            self._sim.output_writer = chained
+        self._output_cbs.append(callback)
+        return self
 
     # -- reference: SimulationAbort (main.cpp:246-258) ------------------
     def abort(self):

@@ -220,3 +220,44 @@ def test_divergence_raises():
     sim.state = sim.state._replace(z=jnp.asarray(z))
     with pytest.raises(RuntimeError, match="diverged"):
         sim.run()
+
+
+def test_embedding_api_callbacks(tmp_path):
+    """Push-style callbacks (the reference DLL's visualisation surface):
+    on_progress fires per batch, on_output at every output time with the
+    fields fetchable inside the callback."""
+    from hipims_tpu.api import simulation_load
+    from hipims_tpu.io.raster import Raster, write_raster
+
+    write_raster(tmp_path / "dem.asc", Raster(np.zeros((16, 24)),
+                                              cell_size=2.0))
+    (tmp_path / "m.xml").write_text("""<?xml version="1.0"?>
+    <configuration><metadata><name>CB</name></metadata>
+    <simulation>
+      <parameter name="duration" value="4" />
+      <parameter name="outputFrequency" value="2" />
+      <domainSet><domain type="cartesian">
+        <data sourceDir="." targetDir="out/">
+          <dataSource type="constant" value="depth" source="0.3" />
+          <dataSource type="constant" value="manningCoefficient"
+                      source="0.03" />
+          <dataSource type="raster" value="structure,dem" source="dem.asc"/>
+          <dataTarget type="raster" value="depth" format="GTiff"
+                      target="depth_%t.tif" />
+        </data>
+        <scheme name="Godunov" />
+      </domain></domainSet></simulation></configuration>""")
+
+    frames, ticks = [], []
+    handle = simulation_load(tmp_path / "m.xml")
+    handle.on_output(lambda h, t: frames.append((t, h.field("depth"))))
+    handle.on_progress(lambda h, t, el: ticks.append(t))
+    handle.launch(blocking=True)
+
+    assert [t for t, _ in frames] == [2.0, 4.0]
+    assert all(f.shape == (16, 24) for _, f in frames)
+    assert len(ticks) >= 1
+    # File outputs still written alongside the callbacks.
+    outs = sorted(p.name for p in (tmp_path / "out").glob("*.tif"))
+    assert outs == ["depth_2.tif", "depth_4.tif"]
+    handle.close()
