@@ -51,7 +51,7 @@ def build_domain(rows, cols):
 
 def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps,
              mesh_n=None):
-    """Return (rate_cells_per_s, elapsed, sim) for one configuration."""
+    """Return (rate_cells_per_s, elapsed, sim, carry) for one config."""
     import jax.numpy as jnp
 
     from hipims_tpu.runtime import Simulation, SimulationConfig

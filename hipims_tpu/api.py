@@ -42,6 +42,7 @@ class SimulationHandle:
         self._error: Optional[BaseException] = None
         self._progress_cbs = []
         self._output_cbs = []
+        self._snapshot = None       # live only inside on_output callbacks
 
     # -- reference: SimulationLaunch (main.cpp:202-230) -----------------
     def launch(self, blocking=True):
@@ -85,8 +86,14 @@ class SimulationHandle:
             def chained(sim_view, t):
                 if inner_writer is not None:
                     inner_writer(sim_view, t)
-                for cb in self._output_cbs:
-                    cb(self, t)
+                # Expose the event's already-gathered snapshot so
+                # field() inside a callback costs no extra gathers.
+                self._snapshot = sim_view
+                try:
+                    for cb in self._output_cbs:
+                        cb(self, t)
+                finally:
+                    self._snapshot = None
 
             self._sim.output_writer = chained
         self._output_cbs.append(callback)
@@ -132,8 +139,9 @@ class SimulationHandle:
     # -- field access (the DLL's visualisation callbacks) ----------------
     def field(self, value: str) -> np.ndarray:
         from .runtime.output import derive_field
-        return derive_field(value, self._sim.state_logical,
-                            self._sim.static_logical, self._sim.domain.dx,
+        view = self._snapshot if self._snapshot is not None else self._sim
+        return derive_field(value, view.state_logical,
+                            view.static_logical, self._sim.domain.dx,
                             datum=getattr(self._sim.domain, "datum", 0.0))
 
     @property

@@ -97,9 +97,18 @@ def main(argv=None):
         # <executor deviceFilter="CPU"> and no --platform override: honour
         # the config's platform preference (reference: device-type filter,
         # src/OpenCL/Executors/CExecutorControlOpenCL.cpp:211-281).
-        import jax
-        jax.config.update("jax_platforms", model.platform_hint)
-        log.line(f"  Platform:    {model.platform_hint} (from deviceFilter)")
+        if args.distributed is not None:
+            # initialize_cluster already initialised the JAX backend, so
+            # a jax_platforms update here would be ineffective (or raise)
+            # — the launcher environment owns platform choice.
+            log.line("WARNING: deviceFilter platform hint ignored "
+                     "under --distributed (backend already "
+                     "initialised); use --platform or JAX_PLATFORMS")
+        else:
+            import jax
+            jax.config.update("jax_platforms", model.platform_hint)
+            log.line(f"  Platform:    {model.platform_hint} "
+                     "(from deviceFilter)")
 
     mesh = None
     if args.mesh or args.mesh_shape:

@@ -25,6 +25,15 @@ CRasterDataset::createTransformationForDomain) and scatters cell
 boundaries with domain-local indices (src/Boundaries/CBoundaryCell.cpp:
 447-451).  ``origin=None`` (the default) means the array IS the global
 grid.
+
+``apply`` also takes ``mask``: a boolean array (broadcastable to the
+state) that is True exactly where forcing is ALLOWED.  The runtime
+passes the logical grid minus the scheme's static ring
+(``interior_force_mask``), so every execution path — single device,
+GSPMD mesh, halo-deep/Pallas mesh — forces exactly the same set of
+cells: the scheme's never-updated ghost ring receives no forcing
+anywhere.  ``mask=None`` falls back to excluding the array's outermost
+ring (standalone use).
 """
 
 from __future__ import annotations
@@ -41,6 +50,29 @@ from .compensated import comp_add
 from .godunov import SchemeParams
 
 MM_PER_HOUR_TO_M_PER_S = 1.0 / 3_600_000.0
+
+
+def interior_force_mask(shape, logical_rows, logical_cols, ring,
+                        origin=None):
+    """True where boundary forcing is allowed: inside the logical grid,
+    more than ``ring`` cells from its edge (the scheme's static ghost
+    ring is never updated by the kernels, so forcing it would create
+    path-dependent state — see module docstring).  Built from iota so it
+    fuses under jit; ``origin`` shifts to global coordinates for a
+    mesh-local block."""
+    oy, ox = (0, 0) if origin is None else origin
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + oy
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + ox
+    return ((gy >= ring) & (gy < logical_rows - ring)
+            & (gx >= ring) & (gx < logical_cols - ring))
+
+
+def _default_mask(shape):
+    """Legacy standalone behaviour: exclude the array's outermost ring."""
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((gy >= 1) & (gy < shape[0] - 1)
+            & (gx >= 1) & (gx < shape[1] - 1))
 
 # Depth-definition modes (reference: src/Boundaries/CLBoundaries.clh:35-38).
 DEPTH_IGNORE = 0
@@ -66,7 +98,7 @@ class UniformBoundary:
     is_loss: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None, origin=None):
+              params: SchemeParams, comp=None, origin=None, mask=None):
         # Series ride the state dtype — without the cast an x64-enabled
         # host would silently promote the f32 state update to f64.
         values = jnp.asarray(self.values, dtype=state.z.dtype)
@@ -76,33 +108,36 @@ class UniformBoundary:
 
         live = ((t_hydro >= C.TIMESTEP_HYDROLOGICAL) & (dt > 0.0)
                 & (t < self.length))
-        sl = (slice(1, -1), slice(1, -1))
-        zc = state.z[sl]
-        enabled = state.zmax[sl] > C.NODATA
-        apply_mask = live & enabled
+        if mask is None:
+            mask = _default_mask(state.z.shape)
+        zc = state.z
+        enabled = state.zmax > C.NODATA
+        apply_mask = live & enabled & mask
         if self.is_loss:
             # Loss clamps at the bed; as a signed increment so the
             # compensated path can accumulate it exactly.
-            delta = jnp.maximum(static.zb[sl] - zc, -rate)
+            delta = jnp.maximum(static.zb - zc, -rate)
         else:
             delta = jnp.broadcast_to(rate, zc.shape)
         delta = jnp.where(apply_mask, delta, 0.0)
         if comp is None:
-            new = state._replace(z=state.z.at[sl].set(zc + delta))
-            return new
+            return state._replace(z=zc + delta)
         # A sub-ulp rainfall increment vanishes in plain f32 (z + delta
-        # == z); the compensation plane is what preserves it.
-        z_new, comp_new = comp_add(zc, comp[sl], delta)
+        # == z); the compensation plane is what preserves it.  Unforced
+        # cells must keep (z, comp) EXACTLY (comp_add with delta=0 would
+        # still fold the residue into the visible z), hence the selects.
+        z_new, comp_new = comp_add(zc, comp, delta)
         if self.is_loss:
             # comp_add can round the visible z one ulp below the bed,
             # where dry keep-masks would freeze the negative depth; clamp
             # the visible plane at the bed and fold the clamp residue into
             # comp so the tracked true surface is unchanged.
-            z_clamped = jnp.maximum(static.zb[sl], z_new)
+            z_clamped = jnp.maximum(static.zb, z_new)
             comp_new = comp_new - (z_clamped - z_new)
             z_new = z_clamped
-        return (state._replace(z=state.z.at[sl].set(z_new)),
-                comp.at[sl].set(comp_new))
+        z_new = jnp.where(apply_mask, z_new, zc)
+        comp_new = jnp.where(apply_mask, comp_new, comp)
+        return state._replace(z=z_new), comp_new
 
 
 @jax.tree_util.register_dataclass
@@ -118,7 +153,7 @@ class GriddedBoundary:
     mass_flux: bool = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None, origin=None):
+              params: SchemeParams, comp=None, origin=None, mask=None):
         series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount, grows, gcols = series.shape
         ti = jnp.clip((t / self.interval).astype(jnp.int32), 0, tcount - 1)
@@ -143,15 +178,20 @@ class GriddedBoundary:
             rate = rate * MM_PER_HOUR_TO_M_PER_S * t_hydro
 
         live = (t_hydro >= C.TIMESTEP_HYDROLOGICAL) & (dt > 0.0)
-        sl = (slice(1, -1), slice(1, -1))
-        zc = state.z[sl]
-        enabled = (state.zmax[sl] > C.NODATA) & (zc != C.NODATA)
-        delta = jnp.where(live & enabled, rate[sl], 0.0)
+        if mask is None:
+            mask = _default_mask(state.z.shape)
+        zc = state.z
+        enabled = (state.zmax > C.NODATA) & (zc != C.NODATA)
+        delta = jnp.where(live & enabled & mask, rate, 0.0)
         if comp is None:
-            return state._replace(z=state.z.at[sl].set(zc + delta))
-        z_new, comp_new = comp_add(zc, comp[sl], delta)
-        return (state._replace(z=state.z.at[sl].set(z_new)),
-                comp.at[sl].set(comp_new))
+            return state._replace(z=zc + delta)
+        # Select-guarded as in UniformBoundary: unforced cells keep
+        # (z, comp) exactly.
+        z_new, comp_new = comp_add(zc, comp, delta)
+        forced = live & enabled & mask
+        z_new = jnp.where(forced, z_new, zc)
+        comp_new = jnp.where(forced, comp_new, comp)
+        return state._replace(z=z_new), comp_new
 
 
 @jax.tree_util.register_dataclass
@@ -175,7 +215,7 @@ class CellBoundary:
     discharge_mode: int = dataclasses.field(metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
-              params: SchemeParams, comp=None, origin=None):
+              params: SchemeParams, comp=None, origin=None, mask=None):
         g = C.GRAVITY
         series = jnp.asarray(self.series, dtype=state.z.dtype)
         tcount = series.shape[0]
@@ -188,23 +228,38 @@ class CellBoundary:
         live = (dt > 0.0) & (t < self.length)
 
         if origin is None:
-            rr, cc = self.rows, self.cols
+            rr, cc = jnp.asarray(self.rows), jnp.asarray(self.cols)
         else:
             # Mesh mode: map the GLOBAL cell indices onto this device's
-            # local block; cells outside it become (-1, -1), which the
-            # drop-mode scatters below discard (the reference applies cell
-            # boundaries with per-domain local indices,
-            # src/Boundaries/CBoundaryCell.cpp:447-451).  Halo copies of a
-            # forced cell land inside the extended block and receive the
-            # same forcing their owner applies, keeping the halo-deep
+            # local block; cells outside it get a POSITIVE out-of-bounds
+            # sentinel (nr, nc), which the drop-mode scatters below
+            # discard (a negative sentinel would NOT work: JAX normalises
+            # negative indices before the mode applies, so -1 would write
+            # the block's last cell).  The reference applies cell
+            # boundaries with per-domain local indices
+            # (src/Boundaries/CBoundaryCell.cpp:447-451).  Halo copies of
+            # a forced cell land inside the extended block and receive
+            # the same forcing their owner applies, keeping the halo-deep
             # window's shrinking-validity invariant.
             oy, ox = origin
             lr = jnp.asarray(self.rows, jnp.int32) - oy
             lc = jnp.asarray(self.cols, jnp.int32) - ox
             nr, nc = state.z.shape
             inside = (lr >= 0) & (lr < nr) & (lc >= 0) & (lc < nc)
-            rr = jnp.where(inside, lr, -1)
-            cc = jnp.where(inside, lc, -1)
+            rr = jnp.where(inside, lr, nr)
+            cc = jnp.where(inside, lc, nc)
+
+        if mask is not None:
+            # Forcing disallowed on masked-out cells (the static ghost
+            # ring): redirect those scatters to the dropped sentinel so
+            # every execution path forces the identical cell set.  The
+            # gather clips at the edge for already-out-of-block entries,
+            # whose scatters are dropped regardless of the mask value.
+            nr_, nc_ = state.z.shape
+            allowed = mask[jnp.clip(rr, 0, nr_ - 1),
+                           jnp.clip(cc, 0, nc_ - 1)]
+            rr = jnp.where(allowed, rr, nr_)
+            cc = jnp.where(allowed, cc, nc_)
 
         zb_c = static.zb[rr, cc]
         z_c = state.z[rr, cc]
@@ -246,7 +301,7 @@ class CellBoundary:
         qx_new = jnp.where(live, qx_new, state.qx[rr, cc])
         qy_new = jnp.where(live, qy_new, state.qy[rr, cc])
 
-        # mode="drop" discards the (-1, -1) out-of-block entries under a
+        # mode="drop" discards the (nr, nc) out-of-block entries under a
         # mesh origin; with origin=None every index is in bounds and drop
         # is a no-op.
         new = state._replace(
@@ -267,17 +322,18 @@ Boundaries = Tuple
 
 def apply_boundaries(boundaries, state: FlowState, static: DomainStatic,
                      t, dt, t_hydro, params: SchemeParams, comp=None,
-                     origin=None):
+                     origin=None, mask=None):
     """Apply every configured boundary in order (reference fan-out:
     src/Boundaries/CBoundaryMap.cpp:76-91).  With ``comp`` (compensated-f32
     z accumulation) returns (state, comp).  ``origin`` georeferences a
-    mesh-local block (see module docstring)."""
+    mesh-local block and ``mask`` bounds the forceable cells (see module
+    docstring)."""
     if comp is None:
         for b in boundaries:
             state = b.apply(state, static, t, dt, t_hydro, params,
-                            origin=origin)
+                            origin=origin, mask=mask)
         return state
     for b in boundaries:
         state, comp = b.apply(state, static, t, dt, t_hydro, params,
-                              comp=comp, origin=origin)
+                              comp=comp, origin=origin, mask=mask)
     return state, comp

@@ -184,22 +184,20 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                 # Boundaries on the extended block (halo copies get the
                 # same forcing their owners apply); position-dependent
                 # forcing evaluates in global coordinates via the block
-                # origin; the global static ring must not receive forcing,
-                # mirroring the single-device interior slice.
-                st_pre, cm_pre = st, cm
+                # origin, and the mask (~ring: inside the logical grid,
+                # off the static ghost ring) bounds the forced cells to
+                # exactly the set every other execution path forces.
                 bdy_origin = (oy - pad_r, ox - pad_c)
+                allowed = ~ring
                 for b in boundaries:
                     if compensated:
                         st, cm = b.apply(st, estatic, cr.t, cr.dt,
                                          cr.t_hydro, params, comp=cm,
-                                         origin=bdy_origin)
+                                         origin=bdy_origin, mask=allowed)
                     else:
                         st = b.apply(st, estatic, cr.t, cr.dt, cr.t_hydro,
-                                     params, origin=bdy_origin)
-                st = FlowState(*(jnp.where(ring, o, v)
-                                 for o, v in zip(st_pre, st)))
-                if compensated:
-                    cm = jnp.where(ring, cm_pre, cm)
+                                     params, origin=bdy_origin,
+                                     mask=allowed)
 
                 if use_pallas:
                     # Fused kernel on the extended block.  With ``origin``

@@ -20,18 +20,26 @@ from ..state import FlowState, StepCarry
 CHECKPOINT_VERSION = 1
 
 
-def save_checkpoint(path, sim):
+def save_checkpoint(path, sim, snapshot=None):
     """Write the simulation's resumable state to an .npz file.
 
     Multi-host safe: sharded arrays are allgathered on EVERY process
     (non-addressable shards cannot be np.asarray'd, and the gather is a
     collective that must run symmetrically), then only the coordinator
     writes the file — the reference's rank-0 output gating
-    (src/main.cpp:561-578)."""
+    (src/main.cpp:561-578).  ``snapshot`` (an already-gathered
+    _OutputSnapshot) avoids a second gather set when the caller just
+    built one for the output writers."""
     import jax
 
     path = Path(path)
-    fetch = sim._fetch_global
+    if snapshot is not None:
+        state_full, comp_full = snapshot.state_full, snapshot.comp_full
+    else:
+        fetch = sim._fetch_global
+        state_full = type(sim.state)(*(fetch(a) for a in sim.state))
+        comp_full = (fetch(sim.comp)
+                     if getattr(sim, "comp", None) is not None else None)
     meta = dict(
         version=CHECKPOINT_VERSION,
         scheme=sim.config.scheme,
@@ -45,10 +53,10 @@ def save_checkpoint(path, sim):
     )
     arrays = dict(
         meta=json.dumps(meta),
-        z=fetch(sim.state.z),
-        zmax=fetch(sim.state.zmax),
-        qx=fetch(sim.state.qx),
-        qy=fetch(sim.state.qy),
+        z=state_full.z,
+        zmax=state_full.zmax,
+        qx=state_full.qx,
+        qy=state_full.qy,
         t=np.asarray(sim.carry.t),
         dt=np.asarray(sim.carry.dt),
         t_hydro=np.asarray(sim.carry.t_hydro),
@@ -56,10 +64,10 @@ def save_checkpoint(path, sim):
         batch_successful=np.asarray(sim.carry.batch_successful),
         batch_skipped=np.asarray(sim.carry.batch_skipped),
     )
-    if getattr(sim, "comp", None) is not None:
+    if comp_full is not None:
         # Compensated-f32 residue plane — without it a resume would
         # restart the rounding error from zero (harmless but inexact).
-        arrays["comp"] = fetch(sim.comp)
+        arrays["comp"] = comp_full
     if jax.process_index() == 0:
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(path, **arrays)

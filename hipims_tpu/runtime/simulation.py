@@ -85,8 +85,19 @@ class _OutputSnapshot:
 
     def __init__(self, sim: "Simulation"):
         self._sim = sim
-        self.state_logical = sim.state_logical
-        self.static_logical = sim.static_logical
+        fetch = sim._fetch_global
+        lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
+        # Full (padded) gathered arrays — shared with save_checkpoint so
+        # a --checkpoint run pays ONE gather set per output event.
+        self.state_full = FlowState(*(fetch(a) for a in sim.state))
+        self.static_full = DomainStatic(*(fetch(a) for a in sim.static))
+        self.comp_full = (fetch(sim.comp)
+                          if getattr(sim, "comp", None) is not None
+                          else None)
+        self.state_logical = FlowState(*(a[:lr, :lc]
+                                         for a in self.state_full))
+        self.static_logical = DomainStatic(*(a[:lr, :lc]
+                                             for a in self.static_full))
 
     def __getattr__(self, name):
         return getattr(self._sim, name)
@@ -277,15 +288,25 @@ class Simulation:
             from ..ops.pallas.stencil import stencil_step_pallas
             from ..ops.pallas.muscl_split import muscl_step_pallas_split
 
+        ring = self.scheme.radius
+
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("state", "carry", "comp"))
         def run_batch(state: FlowState, carry: StepCarry,
                       static: DomainStatic, sync_time, comp, n_steps: int):
+            # Forcing allowed exactly on the logical grid minus the
+            # scheme's static ghost ring — the same cell set the
+            # halo-deep mesh path forces, so every execution path stays
+            # bit-consistent (iota-built, fuses under jit).
+            from ..ops.boundaries import interior_force_mask
+            fmask = interior_force_mask(state.z.shape, logical[0],
+                                        logical[1], ring)
+
             def body(sc, _):
                 state, carry, comp = sc
                 bout = apply_boundaries(boundaries_static, state, static,
                                         carry.t, carry.dt, carry.t_hydro,
-                                        params, comp=comp)
+                                        params, comp=comp, mask=fmask)
                 state, comp = bout if comp is not None else (bout, None)
                 if use_pallas:
                     if scheme_name == "muscl-hancock":
@@ -397,15 +418,15 @@ class Simulation:
     # ------------------------------------------------------------------
     def emit_output(self, t: float):
         """Run one output event SPMD-symmetrically: gather the global
-        state on every process (collectives), write files only where
-        write_outputs is set."""
-        if self.checkpoint_path is not None:
-            from .checkpoint import save_checkpoint
-            save_checkpoint(self.checkpoint_path, self)
-        if self.output_writer is None:
+        state ONCE on every process (collectives), then write files /
+        checkpoints only where write_outputs is set."""
+        if self.output_writer is None and self.checkpoint_path is None:
             return
         snap = _OutputSnapshot(self)
-        if self.write_outputs:
+        if self.checkpoint_path is not None:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_path, self, snapshot=snap)
+        if self.output_writer is not None and self.write_outputs:
             self.output_writer(snap, t)
 
     def run(self, progress: Optional[Callable] = None):

@@ -313,3 +313,63 @@ def test_cell_boundary_mesh_pallas(mesh8):
     np.testing.assert_allclose(np.asarray(shd.state_logical.z),
                                np.asarray(ref.state_logical.z),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cell_boundary_out_of_block_scatter_is_dropped():
+    """Out-of-block cell-boundary indices must be DISCARDED, not wrapped:
+    jnp's drop-mode normalises negative indices before dropping, so a
+    -1 sentinel silently writes the block's last cell (caught in the
+    round-4 self-review).  With every forced cell outside the block,
+    the state (corner included) must be bit-identical."""
+    import jax.numpy as jnp
+    from hipims_tpu.state import FlowState, DomainStatic
+
+    b = _inflow_cells(64)           # global rows 4..59, col 32
+    n = 16
+    zb = jnp.zeros((n, n))
+    st = FlowState(z=jnp.full((n, n), 0.5), zmax=jnp.full((n, n), 0.5),
+                   qx=jnp.zeros((n, n)), qy=jnp.zeros((n, n)))
+    static = DomainStatic(zb=zb, manning=jnp.full((n, n), 0.03))
+    # A block at global origin (0, 48): columns 48..63 — no forced cell.
+    out = b.apply(st, static, jnp.asarray(1.0), jnp.asarray(0.1),
+                  jnp.asarray(0.0), _params(), origin=(0, 48))
+    for a, o, name in zip(st, out, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(a),
+                                      err_msg=name)
+
+
+def _params():
+    from hipims_tpu.ops.godunov import SchemeParams
+    return SchemeParams(dx=2.0, dy=2.0, very_small=1e-10, quite_small=1e-9,
+                        friction=True, datum=0.0)
+
+
+def test_muscl_rainfall_halo_deep_matches_single_device(mesh8):
+    """Radius-2 regression (round-4 self-review): the halo-deep path's
+    forcing mask is radius-deep while the single-device path used to
+    exclude only one ring, so MUSCL + rain diverged at ring-1 cells.
+    The unified interior_force_mask makes all paths force the identical
+    cell set — bit-exact here."""
+    from hipims_tpu.domain import Domain
+    from hipims_tpu.ops.boundaries import UniformBoundary
+
+    n = 48
+    rain = UniformBoundary(values=np.full(10, 50.0), interval=600.0,
+                           length=6000.0, is_loss=False)
+
+    def build(mesh, sync="timestep", window=1):
+        dom = Domain(zb=np.zeros((n, n)), manning=0.03, dx=2.0, dy=2.0)
+        dom.set_initial_depth(0.0)
+        cfg = SimulationConfig(scheme="muscl-hancock", duration=20.0,
+                               output_frequency=20.0, batch_size=8,
+                               batch_auto=False, sync_method=sync,
+                               forecast_window=window)
+        return Simulation(dom, cfg, boundaries=(rain,), mesh=mesh)
+
+    ref = build(None)
+    ref.run()
+    assert ref.volume() > 0.0
+    for sim in (build(mesh8), build(mesh8, "forecast", 4)):
+        sim.run()
+        np.testing.assert_array_equal(np.asarray(sim.state.z),
+                                      np.asarray(ref.state.z))

@@ -57,12 +57,16 @@ def main():
     zb = np.asarray(sim.static_logical.zb, np.float64)
     z = np.asarray(st.z, np.float64)
     h = sim.depth()
+    outdir.mkdir(parents=True, exist_ok=True)
+    vol_ts = sorted(int(k) for k in volumes)
     np.savez_compressed(
         outdir / "newcastle_golden_fields.npz",
         z=z, qx=np.asarray(st.qx, np.float64),
         qy=np.asarray(st.qy, np.float64),
         zmax=np.asarray(st.zmax, np.float64),
-        zb=zb, datum=np.float64(sim.domain.datum), t=np.float64(sim.t))
+        zb=zb, datum=np.float64(sim.domain.datum), t=np.float64(sim.t),
+        volume_times=np.asarray(vol_ts, np.float64),
+        volumes=np.asarray([volumes[str(k)] for k in vol_ts], np.float64))
     print("fields npz:",
           (outdir / 'newcastle_golden_fields.npz').stat().st_size, "bytes")
     print("depth mean", h.mean(), "max", h.max(),
