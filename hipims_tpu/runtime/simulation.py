@@ -198,6 +198,11 @@ class Simulation:
             datum_shift=(config.dtype != "float64"))
         if backend == "pallas" and mesh is None and not _pallas.supports(
                 domain.rows, domain.cols, scheme=self.scheme.name):
+            import logging
+            logging.getLogger(__name__).warning(
+                "Pallas kernels unavailable for the %dx%d grid (alignment "
+                "contract); falling back to the XLA backend",
+                domain.rows, domain.cols)
             backend = "xla"
         self.backend = backend
         self._interpret = not on_tpu
