@@ -20,9 +20,16 @@ def parse_args(argv=None):
     ap.add_argument("--config-file", "-c", required=True,
                     help="XML configuration file (HiPIMS schema)")
     ap.add_argument("--log-file", "-l", default=None)
-    ap.add_argument("--quiet-mode", "-q", action="store_true")
+    ap.add_argument("--quiet-mode", "-q", "-s", action="store_true",
+                    help="no user feedback (-s is the reference's alias)")
     ap.add_argument("--disable-screen", "-n", action="store_true",
                     help="plain line-by-line progress output")
+    ap.add_argument("--mpi-mode", "-m", action="store_true",
+                    help="accepted for reference compatibility; rank "
+                         "gating is automatic under --distributed")
+    ap.add_argument("--code-dir", "-x", default=None,
+                    help="accepted for reference compatibility; there is "
+                         "no OpenCL code to locate (ignored)")
     ap.add_argument("--mesh", type=int, default=None,
                     help="shard over this many devices (2-D mesh)")
     ap.add_argument("--platform", default=None,
@@ -75,6 +82,11 @@ def main(argv=None):
     log = Logger(path=args.log_file if coordinator else None,
                  quiet=args.quiet_mode or not coordinator)
     log.block("Model configuration")
+    if args.mpi_mode:
+        log.line("note: --mpi-mode is a no-op here; multi-process runs "
+                 "use --distributed (rank gating is automatic)")
+    if args.code_dir:
+        log.line("note: --code-dir ignored (no OpenCL sources to locate)")
     try:
         model = load_config(args.config_file)
     except FileNotFoundError as e:
