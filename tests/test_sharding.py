@@ -237,16 +237,19 @@ def test_gridded_rain_mesh_xla(sync, window, mesh8):
     assert d[n // 2:, n // 2:].sum() > 0.98 * d.sum() > 0.0
 
 
-@pytest.mark.parametrize("sync,window", [("timestep", 1), ("forecast", 3)])
-def test_gridded_rain_mesh_pallas(sync, window, mesh8):
+@pytest.mark.parametrize("scheme,sync,window", [
+    ("godunov", "timestep", 1), ("godunov", "forecast", 3),
+    ("muscl-hancock", "timestep", 1)])
+def test_gridded_rain_mesh_pallas(scheme, sync, window, mesh8):
     """Gridded rain under the Pallas halo-deep mesh path (the round-3
     confirmed-bug path: backend='pallas' routes even sync='timestep'
-    through halo-deep)."""
+    through halo-deep), including the radius-2 MUSCL stencil whose
+    forcing mask is two rings deep."""
     n = 64
-    ref = _build_gridded_sim(n, None, dtype="float32")
+    ref = _build_gridded_sim(n, None, dtype="float32", scheme=scheme)
     ref.run()
     shd = _build_gridded_sim(n, mesh8, dtype="float32", backend="pallas",
-                             sync=sync, window=window)
+                             sync=sync, window=window, scheme=scheme)
     assert shd.backend == "pallas"
     shd.run()
     assert ref.volume() > 0.0
