@@ -60,13 +60,6 @@ class InterfaceFlux(NamedTuple):
     stop_r: jax.Array
 
 
-def _safe_div(num, den, fallback=0.0):
-    """num/den with a well-defined value (and no NaN gradient) when den==0."""
-    bad = den == 0
-    den_safe = jnp.where(bad, 1.0, den)
-    return jnp.where(bad, fallback, num / den_safe)
-
-
 def solve_interfaces(zl, zbl, qal, qcl, zr, zbr, qar, qcr,
                      very_small: float) -> InterfaceFlux:
     """Reconstruct + HLLC for a batch of interfaces (first-order data).
@@ -174,8 +167,18 @@ def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
                     jnp.maximum(vr + ar, u_star + a_star))
     mom_r = hr * (vr - s_r)
     mom_l = hl * (vl - s_l)
+    # The middle wave speed s_m = (s_l*mom_r - s_r*mom_l)/(mom_r - mom_l)
+    # is consumed ONLY as the branch predicate s_m >= 0 below, so the
+    # division reduces to a sign agreement test (division is a
+    # multi-pass VPU op; the selection is bit-identical, including the
+    # den == 0 fallback s_m = 0 which satisfies >= 0).
+    sm_num = s_l * mom_r - s_r * mom_l
     sm_den = mom_r - mom_l
-    s_m = _safe_div(s_l * mom_r - s_r * mom_l, sm_den)
+    # Pure boolean algebra (a bool-valued select lowers to an i1
+    # truncation Mosaic rejects).
+    sm_nonneg = (((sm_den > 0.0) & (sm_num >= 0.0))
+                 | ((sm_den < 0.0) & (sm_num <= 0.0))
+                 | (sm_den == 0.0))
 
     # Shift-invariant pressure part: 0.5 g h^2 (the datum term
     # -0.5 g zb_local^2 is per-cell and added at assembly).
@@ -199,7 +202,7 @@ def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
 
     b_left = s_l >= 0.0
     b_right = (s_l < 0.0) & (s_r < 0.0)
-    b_mid1 = (s_l < 0.0) & (s_r >= 0.0) & (s_m >= 0.0)
+    b_mid1 = (s_l < 0.0) & (s_r >= 0.0) & sm_nonneg
     # middle-2 = remaining case; cross flux advected with the right velocity.
 
     mass = jnp.where(b_left, fl_mass,
