@@ -46,6 +46,10 @@ def parse_args(argv=None):
                     help="override the XML floatingPointPrecision (e.g. "
                          "run a reference 'double' model in the "
                          "compensated f32 mode on TPU)")
+    ap.add_argument("--mass-balance", action="store_true",
+                    help="log the domain water volume at every output "
+                         "time (the papers' <1%% budget check as a "
+                         "runtime observable)")
     ap.add_argument("--checkpoint", default=None, metavar="FILE",
                     help="(re)write a resumable checkpoint (.npz) at "
                          "every output time")
@@ -155,6 +159,21 @@ def main(argv=None):
         log.line(f"  Resumed:     t={sim.t:.1f} s from {args.resume}")
     if args.checkpoint:
         sim.checkpoint_path = args.checkpoint
+    if args.mass_balance:
+        # Ride the writer chain so the volume comes from the output
+        # event's already-gathered snapshot (no extra collectives).
+        from .runtime.output import domain_volume
+        inner_writer = sim.output_writer
+        vol0 = sim.volume()
+
+        def mass_writer(view, t, _inner=inner_writer):
+            if _inner is not None:
+                _inner(view, t)
+            vol = domain_volume(view, sim.domain)
+            log.line(f"  Mass balance: t={t:.1f}s volume={vol:.3f} m3 "
+                     f"(delta {vol - vol0:+.3f} vs start)")
+
+        sim.output_writer = mass_writer
     reporter = ProgressReporter(log, sim, quiet=args.quiet_mode
                                 or not coordinator)
 

@@ -72,6 +72,17 @@ def derive_field(value: str, state, static, resolution: float,
     return out
 
 
+def domain_volume(view, domain) -> float:
+    """Domain water volume [m^3] from an already-gathered view (a
+    Simulation or _OutputSnapshot) — the reference's per-domain volume
+    sum (src/Domain/Cartesian/CDomainCartesian.cpp:743-760)."""
+    z = np.asarray(view.state_logical.z, np.float64)
+    zb = np.asarray(view.static_logical.zb, np.float64)
+    h = np.maximum(z - zb, 0.0)
+    h[np.asarray(view.state_logical.zmax) <= C.NODATA] = 0.0
+    return float(h.sum() * domain.dx * domain.dy)
+
+
 class GaugeOutputWriter:
     """Appends point-gauge samples of one field to a CSV at every output
     time — one row per time, one column per gauge.

@@ -413,3 +413,32 @@ def test_cli_checkpoint_resume(tmp_path, capsys):
     # A bad resume target errors cleanly.
     assert main(["-c", str(tmp_path / "rest.xml"), "-n",
                  "--resume", str(tmp_path / "missing.npz")]) == 1
+
+
+def test_cli_mass_balance_flag(tmp_path, capsys):
+    """--mass-balance logs the volume budget at every output time; a
+    closed dam-break domain must conserve exactly."""
+    dem = Raster(data=np.zeros((16, 16)), cell_size=2.0)
+    write_raster(tmp_path / "dem.asc", dem)
+    (tmp_path / "m.xml").write_text("""<?xml version="1.0"?>
+    <configuration><metadata><name>MB</name></metadata>
+    <simulation>
+      <parameter name="duration" value="10" />
+      <parameter name="outputFrequency" value="5" />
+      <domainSet><domain type="cartesian">
+        <data sourceDir="." targetDir="out/">
+          <dataSource type="constant" value="depth" source="0.2" />
+          <dataSource type="constant" value="manningCoefficient"
+                      source="0.03" />
+          <dataSource type="raster" value="structure,dem"
+                      source="dem.asc" />
+        </data>
+        <scheme name="Godunov" />
+      </domain></domainSet></simulation></configuration>""")
+    from hipims_tpu.cli import main
+    assert main(["-c", str(tmp_path / "m.xml"), "-n",
+                 "--mass-balance"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "Mass balance" in ln]
+    assert len(lines) == 2
+    assert all("delta +0.000" in ln for ln in lines)
