@@ -166,9 +166,9 @@ def main(argv=None):
         inner_writer = sim.output_writer
         vol0 = sim.volume()
 
-        def mass_writer(view, t, _inner=inner_writer):
-            if _inner is not None:
-                _inner(view, t)
+        def mass_writer(view, t):
+            if inner_writer is not None:
+                inner_writer(view, t)
             vol = domain_volume(view, sim.domain)
             log.line(f"  Mass balance: t={t:.1f}s volume={vol:.3f} m3 "
                      f"(delta {vol - vol0:+.3f} vs start)")

@@ -18,6 +18,7 @@ exactly like the reference's adaptive queue
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from functools import partial
 from typing import Callable, Optional, Sequence
@@ -29,7 +30,7 @@ import numpy as np
 from .. import constants as C
 from ..domain import Domain
 from ..models import Scheme, get_scheme
-from ..ops.boundaries import apply_boundaries
+from ..ops.boundaries import apply_boundaries, interior_force_mask
 from ..ops.godunov import SchemeParams
 from ..ops.timestep import TimestepParams, advance, max_wave_speed
 from ..state import DomainStatic, FlowState, StepCarry, initial_carry
@@ -88,9 +89,14 @@ class _OutputSnapshot:
         fetch = sim._fetch_global
         lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
         # Full (padded) gathered arrays — shared with save_checkpoint so
-        # a --checkpoint run pays ONE gather set per output event.
+        # a --checkpoint run pays ONE gather set per output event.  The
+        # static fields never change, so their gather is cached across
+        # events on the simulation.
         self.state_full = FlowState(*(fetch(a) for a in sim.state))
-        self.static_full = DomainStatic(*(fetch(a) for a in sim.static))
+        if sim._static_full_cache is None:
+            sim._static_full_cache = DomainStatic(*(fetch(a)
+                                                    for a in sim.static))
+        self.static_full = sim._static_full_cache
         self.comp_full = (fetch(sim.comp)
                           if getattr(sim, "comp", None) is not None
                           else None)
@@ -122,6 +128,8 @@ class Simulation:
         # event (save_checkpoint is itself collective-symmetric and
         # rank-0-gated, so this is safe on every rank).
         self.checkpoint_path = None
+        # Lazily-gathered host copy of the (immutable) static fields.
+        self._static_full_cache = None
         self.scheme: Scheme = get_scheme(config.scheme)
         self.mesh = mesh
 
@@ -176,7 +184,6 @@ class Simulation:
             while self._mesh_window > 1 and not _fits(self._mesh_window):
                 self._mesh_window -= 1
             if not _fits(self._mesh_window):
-                import logging
                 logging.getLogger(__name__).warning(
                     "Pallas kernels unavailable for %dx%d local blocks "
                     "(no halo window fits the alignment contract); "
@@ -198,7 +205,6 @@ class Simulation:
             datum_shift=(config.dtype != "float64"))
         if backend == "pallas" and mesh is None and not _pallas.supports(
                 domain.rows, domain.cols, scheme=self.scheme.name):
-            import logging
             logging.getLogger(__name__).warning(
                 "Pallas kernels unavailable for the %dx%d grid (alignment "
                 "contract); falling back to the XLA backend",
@@ -251,7 +257,6 @@ class Simulation:
             pr, pc = halo_pads(self._mesh_window, self.scheme.radius,
                                self.backend, local_rows=lr_arg)
             if pr > r_loc or pc > c_loc:
-                import logging
                 logging.getLogger(__name__).warning(
                     "mesh blocks %dx%d too small for any halo window; "
                     "falling back to per-step GSPMD halos", r_loc, c_loc)
@@ -303,7 +308,6 @@ class Simulation:
             # scheme's static ghost ring — the same cell set the
             # halo-deep mesh path forces, so every execution path stays
             # bit-consistent (iota-built, fuses under jit).
-            from ..ops.boundaries import interior_force_mask
             fmask = interior_force_mask(state.z.shape, logical[0],
                                         logical[1], ring)
 
@@ -487,4 +491,5 @@ class Simulation:
         return np.maximum(h, 0.0)
 
     def volume(self) -> float:
-        return float(self.depth().sum() * self.domain.dx * self.domain.dy)
+        from .output import domain_volume
+        return domain_volume(self, self.domain)
