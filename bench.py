@@ -150,6 +150,12 @@ def main():
                                                        20)))):
             if dt_ == dtype:
                 continue
+            if time.monotonic() - _T0 > deadline:
+                # Re-checked between extras: each costs a fresh compile
+                # on the relay, and an external timeout must not cut the
+                # run before the enriched line lands.
+                print(f"# extra {dt_} skipped: deadline", file=sys.stderr)
+                continue
             try:
                 r, _, sm, _ = run_case(scheme, dt_, "auto" if dt_ != "float64"
                                        else "xla", variant, rows, cols, st,
