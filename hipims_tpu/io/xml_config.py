@@ -369,6 +369,22 @@ def load_config(path) -> LoadedModel:
             bounds.append(_parse_timeseries(ts, bc_dir, shared_map, domain,
                                             cfg.duration, real_start))
 
+    # Cell-boundary cells that fall inside the scheme's static ghost
+    # ring are never forced (the ring is not simulated; see
+    # ops/boundaries.py interior_force_mask) — surface that at load time
+    # instead of silently doing nothing at runtime.
+    ring = 2 if cfg.scheme == "muscl-hancock" else 1
+    for b in bounds:
+        if b is not None and type(b).__name__ == "CellBoundary":
+            r, c = np.asarray(b.rows), np.asarray(b.cols)
+            bad = ((r < ring) | (r >= domain.logical_rows - ring)
+                   | (c < ring) | (c >= domain.logical_cols - ring))
+            if bad.any():
+                log.warning("%s: %d cell-boundary cell(s) fall inside "
+                            "the %d-cell static edge ring and will "
+                            "receive no forcing; move them inward",
+                            path.name, int(bad.sum()), ring)
+
     return LoadedModel(name=name, description=desc, domain=domain,
                        config=cfg, boundaries=[b for b in bounds if b],
                        output_targets=targets, target_dir=str(target_dir),

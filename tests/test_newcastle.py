@@ -159,11 +159,12 @@ def test_newcastle_f32c_field_level_accuracy(model_dir):
     print(f"\nf32c vs f64 @7200s: mean wet |dh|={mean_err:.2e} m, "
           f"max |dh|={max_err:.3f} m, volume err={vol_err:.2e}")
     # Papers' anchor: mean depth error < 0.01 m; max and volume errors
-    # bounded too (the bounds leave headroom over the measured values —
-    # printed above — while still failing a precision regression).
+    # bounded too.  Measured: mean 1.5e-3, max 0.113 (two steep-pond-
+    # edge cells trading water — see docs/ROOFLINE.md), volume 1.5e-4;
+    # the bounds leave ~2x headroom while failing a real regression.
     assert mean_err < 0.01, f"mean wet-cell |dh| = {mean_err:.4f} m"
-    assert max_err < 0.5, f"max |dh| = {max_err:.3f} m"
-    assert vol_err < 1e-3, f"volume error {vol_err:.2e}"
+    assert max_err < 0.25, f"max |dh| = {max_err:.3f} m"
+    assert vol_err < 5e-4, f"volume error {vol_err:.2e}"
 
 
 def test_newcastle_compensated_tracks_f64_golden(model_dir):
