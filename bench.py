@@ -12,6 +12,18 @@ With --full (or BENCH_FULL=1) it additionally sweeps all three schemes,
 both precisions and both MUSCL Pallas variants, appends every result to
 stderr and writes the table to BENCH_DETAIL.json (the numbers behind
 docs/ROOFLINE.md).
+
+Environment knobs (defaults in parentheses):
+  BENCH_ROWS/BENCH_COLS (1408)  grid; 2816 is the amortised regime but
+                                costs a ~13-min Mosaic compile on the
+                                TPU relay (see BENCH_2816.json)
+  BENCH_STEPS (200), BENCH_REPS (3), BENCH_STEPS_F64 (20)
+  BENCH_SCHEME (muscl-hancock), BENCH_DTYPE (float32),
+  BENCH_BACKEND (auto), BENCH_VARIANT (measured default)
+  BENCH_MESH (unset)            run on an N-device mesh (1 = the
+                                halo-deep machinery on one chip)
+  BENCH_SKIP_EXTRA=1            headline only (no f32c/f64/mesh extras)
+  BENCH_EXTRA_DEADLINE (420 s)  wall budget before extras are skipped
 """
 
 import json
