@@ -159,8 +159,22 @@ def load_config(path) -> LoadedModel:
     # "compensated" is this framework's extension: f32 state with
     # Neumaier-compensated z accumulation, giving f64-class accuracy at
     # f32 speed on TPU (see ops/compensated.py).
-    if precision in ("double", "float64"):
+    if precision in ("double-strict", "float64-strict"):
         cfg.dtype = "float64"
+    elif precision in ("double", "float64"):
+        # TPU has no native f64: the emulated path runs ~0.6x the
+        # reference's f64 GPU rate, while compensated-f32 delivers
+        # f64-class field accuracy (mean wet-cell |dh| 1.5 mm over the
+        # full Newcastle run, tests/test_newcastle.py) at ~13x.  Reference
+        # configs default to "double", so a drop-in migration maps to the
+        # fast mode; force true f64 with --precision double (CLI) or
+        # floatingPointPrecision="double-strict" (XML).
+        cfg.dtype = "float32c"
+        log.warning(
+            "%s: floatingPointPrecision=double runs as compensated-f32 "
+            "on this platform (f64-class accuracy at ~13x the emulated-"
+            "f64 rate); use --precision double or value='double-strict' "
+            "to force true float64", path.name)
     elif precision in ("compensated", "float32c", "single-compensated"):
         cfg.dtype = "float32c"
     else:
@@ -329,7 +343,8 @@ def load_config(path) -> LoadedModel:
     if len(blocks) > 1 and cfg.sync_method == "forecast":
         min_overlap = union.min_overlap([b.structure for b in blocks])
         if min_overlap is not None:
-            radius = 2 if cfg.scheme == "muscl-hancock" else 1
+            from ..models import get_scheme
+            radius = get_scheme(cfg.scheme).radius
             budget = max(1, (min_overlap // 2 - 1) // radius)
             cfg.forecast_window = max(1, budget - sync_spare)
             log.info("%s: decompose overlap %d rows -> forecast window "
@@ -372,8 +387,11 @@ def load_config(path) -> LoadedModel:
     # Cell-boundary cells that fall inside the scheme's static ghost
     # ring are never forced (the ring is not simulated; see
     # ops/boundaries.py interior_force_mask) — surface that at load time
-    # instead of silently doing nothing at runtime.
-    ring = 2 if cfg.scheme == "muscl-hancock" else 1
+    # instead of silently doing nothing at runtime.  The width comes from
+    # the scheme registry so this warning can never drift from the
+    # runtime's interior_force_mask.
+    from ..models import get_scheme
+    ring = get_scheme(cfg.scheme).radius
     for b in bounds:
         if b is not None and type(b).__name__ == "CellBoundary":
             r, c = np.asarray(b.rows), np.asarray(b.cols)
@@ -597,8 +615,15 @@ def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,
                    real_start):
     """Time-stamped raster series: filenames from a strftime mask evaluated
     at realStart + t (reference: src/Boundaries/CBoundaryGridded.cpp:116-153
-    + Util::fromTimestamp).  Missing files truncate the series length, as in
-    the reference."""
+    + Util::fromTimestamp).
+
+    The series STOPS at the first missing file: every loaded frame keeps
+    its true time offset (skipping a mid-series gap would shift all later
+    frames one interval early), and the truncated length gates the
+    boundary off past the last frame.  The reference is broken on both
+    counts — it keeps loading past gaps and its kernel clamps to an
+    out-of-bounds index at series end (src/Boundaries/CLBoundaries.clc:
+    229-230) — and SURVEY's policy is to fix documented quirks."""
     import datetime
 
     value = (ts.get("value") or "rain-intensity").strip().lower()
@@ -609,16 +634,17 @@ def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,
 
     frames = []
     first = None
-    length = duration
     t = 0.0
     while t <= duration:
         name = (real_start
                 + datetime.timedelta(seconds=t)).strftime(mask)
         path = bc_dir / name
         if not path.exists():
-            length = min(length, t)
-            t += interval
-            continue
+            if t + interval <= duration:
+                log.warning("gridded frame '%s' missing; series truncated "
+                            "at t=%.0f s (the boundary applies nothing "
+                            "beyond that)", name, t)
+            break
         rast = read_raster(path)
         if first is None:
             first = rast
@@ -635,7 +661,8 @@ def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,
         resolution=first.cell_size,
         offset_x=first.xll - domain.xll,
         offset_y=first.yll - domain.yll,
-        mass_flux=(value == "mass-flux"))
+        mass_flux=(value == "mass-flux"),
+        length=len(frames) * interval)
 
 
 def _read_cell_map(path: Path, name: str):

