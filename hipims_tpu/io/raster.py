@@ -126,21 +126,39 @@ def _read_tiff(path: Path) -> Raster:
         e = ">"
     else:
         raise ValueError(f"{path}: not a TIFF")
-    magic, ifd_off = struct.unpack(e + "HI", buf[2:8])
-    if magic != 42:
+    (magic,) = struct.unpack(e + "H", buf[2:4])
+    if magic == 42:                       # classic TIFF
+        big = False
+        (ifd_off,) = struct.unpack(e + "I", buf[4:8])
+    elif magic == 43:                     # BigTIFF
+        big = True
+        osize, zero, ifd_off = struct.unpack(e + "HHQ", buf[4:16])
+        if osize != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header")
+    else:
         raise ValueError(f"{path}: unsupported TIFF magic {magic}")
 
     tags = {}
-    (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+    if big:
+        (n_entries,) = struct.unpack(e + "Q", buf[ifd_off:ifd_off + 8])
+        ent0, ent_size, inline = ifd_off + 8, 20, 8
+    else:
+        (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+        ent0, ent_size, inline = ifd_off + 2, 12, 4
     for i in range(n_entries):
-        off = ifd_off + 2 + i * 12
-        tag, typ, count = struct.unpack(e + "HHI", buf[off:off + 8])
+        off = ent0 + i * ent_size
+        if big:
+            tag, typ, count = struct.unpack(e + "HHQ", buf[off:off + 12])
+        else:
+            tag, typ, count = struct.unpack(e + "HHI", buf[off:off + 8])
         fmt, size = _TIFF_TYPES.get(typ, ("B", 1))
         total = size * count
-        if total <= 4:
-            raw = buf[off + 8:off + 8 + total]
+        val_off = off + (12 if big else 8)
+        if total <= inline:
+            raw = buf[val_off:val_off + total]
         else:
-            (ptr,) = struct.unpack(e + "I", buf[off + 8:off + 12])
+            (ptr,) = struct.unpack(e + ("Q" if big else "I"),
+                                   buf[val_off:val_off + inline])
             raw = buf[ptr:ptr + total]
         if typ == 2:
             tags[tag] = raw.rstrip(b"\0").decode("ascii", "replace")
@@ -212,78 +230,146 @@ def _read_tiff(path: Path) -> Raster:
                   nodata=nodata)
 
 
-def _write_tiff(path: Path, raster: Raster):
-    data = np.ascontiguousarray(raster.data, dtype=np.float32)
-    height, width = data.shape
-    pix = data.tobytes()
+class TiffStripWriter:
+    """Incremental single-band GeoTIFF writer: rows stream in (top-down,
+    map orientation), strips are deflate-compressed and written as they
+    complete, and the IFD is appended at close — so peak memory is one
+    strip, never the full grid (the sharded-output path feeds this with
+    bounded row chunks; see runtime/sharded_io.py).
 
-    entries = []          # (tag, type, count, value-bytes or int)
-    extra = b""
-    header_size = 8
-    nodata_s = (f"{raster.nodata}".encode() + b"\0"
-                if raster.nodata is not None else None)
+    Replaces the GDAL-backed writes of the reference
+    (src/Datasets/CRasterDataset.cpp:101-290) including their deflate
+    compression; ``bigtiff=None`` auto-switches to BigTIFF when the
+    uncompressed payload could exceed the classic 4 GB offset space."""
 
-    def add(tag, typ, count, payload_or_val):
-        entries.append((tag, typ, count, payload_or_val))
-
-    # Layout: header | IFD | extra values | pixel data.
-    # First pass with placeholders to compute sizes.
-    n_tags = 12 + (1 if nodata_s else 0)
-    ifd_size = 2 + n_tags * 12 + 4
-    extra_off = header_size + ifd_size
-
-    extras = {}
-
-    def alloc(payload: bytes) -> int:
-        nonlocal extra
-        off = extra_off + len(extra)
-        extra += payload
-        return off
-
-    scale = struct.pack("<3d", raster.cell_size, raster.cell_size, 0.0)
-    yul = raster.yll + height * raster.cell_size
-    tie = struct.pack("<6d", 0.0, 0.0, 0.0, raster.xll, yul, 0.0)
-
-    extras[TAG_MODEL_PIXEL_SCALE] = alloc(scale)
-    extras[TAG_MODEL_TIEPOINT] = alloc(tie)
-    if nodata_s:
-        extras[TAG_GDAL_NODATA] = alloc(nodata_s)
-
-    pix_off = extra_off + len(extra)
-
-    add(TAG_WIDTH, 4, 1, width)
-    add(TAG_HEIGHT, 4, 1, height)
-    add(TAG_BITS, 3, 1, 32)
-    add(TAG_COMPRESSION, 3, 1, 1)
-    add(TAG_PHOTOMETRIC, 3, 1, 1)
-    add(TAG_STRIP_OFFSETS, 4, 1, pix_off)
-    add(TAG_SAMPLES_PER_PIXEL, 3, 1, 1)
-    add(TAG_ROWS_PER_STRIP, 4, 1, height)
-    add(TAG_STRIP_BYTECOUNTS, 4, 1, len(pix))
-    add(TAG_SAMPLE_FORMAT, 3, 1, 3)
-    add(TAG_MODEL_PIXEL_SCALE, 12, 3, extras[TAG_MODEL_PIXEL_SCALE])
-    add(TAG_MODEL_TIEPOINT, 12, 6, extras[TAG_MODEL_TIEPOINT])
-    if nodata_s:
-        add(TAG_GDAL_NODATA, 2, len(nodata_s), extras[TAG_GDAL_NODATA])
-
-    entries.sort(key=lambda t: t[0])
-    out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, 8)
-    out += struct.pack("<H", len(entries))
-    for tag, typ, count, val in entries:
-        out += struct.pack("<HHI", tag, typ, count)
-        fmt, size = _TIFF_TYPES[typ]
-        if typ == 3 and count == 1:
-            out += struct.pack("<HH", val, 0)
-        elif typ == 4 and count == 1:
-            out += struct.pack("<I", val)
+    def __init__(self, path, width, height, xll=0.0, yll=0.0,
+                 cell_size=1.0, nodata=-9999.0, compress="deflate",
+                 rows_per_strip=None, bigtiff=None):
+        self.width, self.height = int(width), int(height)
+        self.cell_size, self.xll, self.yll = cell_size, xll, yll
+        self.nodata = nodata
+        self.compress = compress
+        if rows_per_strip is None:
+            # ~2 MB of uncompressed f32 per strip.
+            rows_per_strip = max(1, (2 << 20) // max(self.width * 4, 1))
+        self.rows_per_strip = min(rows_per_strip, self.height)
+        payload = self.width * self.height * 4
+        if bigtiff is None:
+            bigtiff = payload > (1 << 32) - (1 << 24)
+        self.big = bool(bigtiff)
+        self._f = open(path, "wb")
+        if self.big:
+            self._f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
         else:
-            out += struct.pack("<I", val)   # offset into extras
-    out += struct.pack("<I", 0)             # next IFD
-    out += extra
-    out += pix
-    with open(path, "wb") as f:
-        f.write(out)
+            self._f.write(b"II" + struct.pack("<HI", 42, 0))
+        self._pos = self._f.tell()
+        self._pending = np.empty((0, self.width), np.float32)
+        self._offsets = []
+        self._counts = []
+        self._rows_in = 0
+
+    def write_rows(self, block):
+        """Append rows (map orientation: first call holds the NORTHERNMOST
+        rows)."""
+        block = np.ascontiguousarray(np.asarray(block, np.float32))
+        if block.ndim == 1:
+            block = block[None, :]
+        assert block.shape[1] == self.width
+        self._rows_in += block.shape[0]
+        assert self._rows_in <= self.height, "more rows than declared"
+        self._pending = (block if not self._pending.size
+                         else np.concatenate([self._pending, block]))
+        rps = self.rows_per_strip
+        while (self._pending.shape[0] >= rps
+               or (self._rows_in == self.height and self._pending.size)):
+            strip, self._pending = self._pending[:rps], self._pending[rps:]
+            raw = strip.tobytes()
+            if self.compress == "deflate":
+                raw = zlib.compress(raw, 6)
+            self._offsets.append(self._pos)
+            self._counts.append(len(raw))
+            self._f.write(raw)
+            self._pos += len(raw)
+
+    def close(self):
+        assert self._rows_in == self.height, (
+            f"wrote {self._rows_in} of {self.height} rows")
+        e = "<"
+        big = self.big
+        off_t, off_fmt = (16, "Q") if big else (4, "I")
+        nodata_s = (f"{self.nodata}".encode() + b"\0"
+                    if self.nodata is not None else None)
+        n_strips = len(self._offsets)
+
+        entries = []                      # (tag, typ, count, packed-values)
+
+        def add(tag, typ, fmt, values):
+            entries.append((tag, typ, len(values),
+                            struct.pack(e + fmt * len(values), *values)))
+
+        add(TAG_WIDTH, 4, "I", [self.width])
+        add(TAG_HEIGHT, 4, "I", [self.height])
+        add(TAG_BITS, 3, "H", [32])
+        add(TAG_COMPRESSION, 3, "H",
+            [8 if self.compress == "deflate" else 1])
+        add(TAG_PHOTOMETRIC, 3, "H", [1])
+        add(TAG_STRIP_OFFSETS, off_t, off_fmt, self._offsets)
+        add(TAG_SAMPLES_PER_PIXEL, 3, "H", [1])
+        add(TAG_ROWS_PER_STRIP, 4, "I", [self.rows_per_strip])
+        add(TAG_STRIP_BYTECOUNTS, off_t, off_fmt, self._counts)
+        add(TAG_SAMPLE_FORMAT, 3, "H", [3])
+        yul = self.yll + self.height * self.cell_size
+        add(TAG_MODEL_PIXEL_SCALE, 12, "d",
+            [self.cell_size, self.cell_size, 0.0])
+        add(TAG_MODEL_TIEPOINT, 12, "d",
+            [0.0, 0.0, 0.0, self.xll, yul, 0.0])
+        if nodata_s:
+            entries.append((TAG_GDAL_NODATA, 2, len(nodata_s), nodata_s))
+        entries.sort(key=lambda t: t[0])
+
+        ifd_off = self._pos
+        inline = 8 if big else 4
+        ent_size = 20 if big else 12
+        head = (struct.pack(e + "Q", len(entries)) if big
+                else struct.pack(e + "H", len(entries)))
+        ifd_size = len(head) + len(entries) * ent_size + (8 if big else 4)
+        extra = b""
+        out = bytearray(head)
+        for tag, typ, count, payload in entries:
+            if big:
+                out += struct.pack(e + "HHQ", tag, typ, count)
+            else:
+                out += struct.pack(e + "HHI", tag, typ, count)
+            if len(payload) <= inline:
+                out += payload.ljust(inline, b"\0")
+            else:
+                ptr = ifd_off + ifd_size + len(extra)
+                extra += payload
+                out += struct.pack(e + off_fmt, ptr)
+        out += struct.pack(e + off_fmt, 0)          # next IFD
+        self._f.write(out + extra)
+        # Patch the header's first-IFD pointer.
+        self._f.seek(8 if big else 4)
+        self._f.write(struct.pack(e + off_fmt, ifd_off))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            self._f.close()
+
+
+def _write_tiff(path: Path, raster: Raster):
+    data = np.asarray(raster.data)
+    w = TiffStripWriter(path, data.shape[1], data.shape[0],
+                        xll=raster.xll, yll=raster.yll,
+                        cell_size=raster.cell_size, nodata=raster.nodata)
+    w.write_rows(data)
+    w.close()
 
 
 # ------------------------------------------------------------ dispatch ----

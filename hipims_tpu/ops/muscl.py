@@ -255,13 +255,15 @@ def muscl_corrector_interior(z, zmax, qx, qy, zb, n, slabs, dt,
     fx = solve_interfaces_muscl(
         ex_e.z[:, :-1], ex_e.h[:, :-1], ex_e.qx[:, :-1], ex_e.qy[:, :-1],
         ex_w.z[:, 1:], ex_w.h[:, 1:], ex_w.qx[:, 1:], ex_w.qy[:, 1:],
-        qx[1:-1, 1:-2], qx[1:-1, 2:-1], vs)
+        qx[1:-1, 1:-2], qx[1:-1, 2:-1], vs,
+        qcl_cell=qy[1:-1, 1:-2], qcr_cell=qy[1:-1, 2:-1])
     # y-axis interfaces: south cell's N estimate vs north cell's S estimate;
     # along-axis discharge is qy, cross is qx.
     fy = solve_interfaces_muscl(
         ex_n.z[:-1, :], ex_n.h[:-1, :], ex_n.qy[:-1, :], ex_n.qx[:-1, :],
         ex_s.z[1:, :], ex_s.h[1:, :], ex_s.qy[1:, :], ex_s.qx[1:, :],
-        qy[1:-2, 1:-1], qy[2:-1, 1:-1], vs)
+        qy[1:-2, 1:-1], qy[2:-1, 1:-1], vs,
+        qcl_cell=qx[1:-2, 1:-1], qcr_cell=qx[2:-1, 1:-1])
 
     sl = (slice(2, -2), slice(2, -2))
     slab_sl = (slice(1, -1), slice(1, -1))   # cells [2, M-2) in slab coords
@@ -402,11 +404,13 @@ def muscl_corrector_full(z, zmax, qx, qy, zb, n, faces, dt,
     fx = solve_interfaces_muscl(
         ex_e.z[:, :-1], ex_e.h[:, :-1], ex_e.qx[:, :-1], ex_e.qy[:, :-1],
         ex_w.z[:, 1:], ex_w.h[:, 1:], ex_w.qx[:, 1:], ex_w.qy[:, 1:],
-        qx[:, :-1], qx[:, 1:], vs)
+        qx[:, :-1], qx[:, 1:], vs,
+        qcl_cell=qy[:, :-1], qcr_cell=qy[:, 1:])
     fy = solve_interfaces_muscl(
         ex_n.z[:-1, :], ex_n.h[:-1, :], ex_n.qy[:-1, :], ex_n.qx[:-1, :],
         ex_s.z[1:, :], ex_s.h[1:, :], ex_s.qy[1:, :], ex_s.qx[1:, :],
-        qy[:-1, :], qy[1:, :], vs)
+        qy[:-1, :], qy[1:, :], vs,
+        qcl_cell=qx[:-1, :], qcr_cell=qx[1:, :])
 
     sl = (slice(1, -1), slice(1, -1))
     zc = z[sl]

@@ -34,6 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .. import constants as C
 from ..constants import GRAVITY
 
 
@@ -94,13 +95,15 @@ def solve_interfaces(zl, zbl, qal, qcl, zr, zbr, qar, qcr,
     qcr_r = hr * ucr
 
     return _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
-                 ual, ucl, uar, ucr, qal, qar, vs)
+                 ual, ucl, uar, ucr, qal, qar, vs,
+                 qcl_raw=qcl, qcr_raw=qcr)
 
 
 def solve_interfaces_muscl(zl_e, hl_e, qal_e, qcl_e,
                            zr_e, hr_e, qar_e, qcr_e,
                            qal_cell, qar_cell,
-                           very_small: float) -> InterfaceFlux:
+                           very_small: float,
+                           qcl_cell=None, qcr_cell=None) -> InterfaceFlux:
     """Reconstruct + HLLC for MUSCL face-extrapolated estimates.
 
     Mirrors the corrector-stage reconstructInterface overload
@@ -129,11 +132,13 @@ def solve_interfaces_muscl(zl_e, hl_e, qal_e, qcl_e,
     qcr_r = hr * ucr
 
     return _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
-                 ual, ucl, uar, ucr, qal_cell, qar_cell, vs)
+                 ual, ucl, uar, ucr, qal_cell, qar_cell, vs,
+                 qcl_raw=qcl_cell, qcr_raw=qcr_cell)
 
 
 def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
-          ual, ucl, uar, ucr, qal_raw, qar_raw, vs) -> InterfaceFlux:
+          ual, ucl, uar, ucr, qal_raw, qar_raw, vs,
+          qcl_raw=None, qcr_raw=None) -> InterfaceFlux:
     """Shared HLLC core on reconstructed states (depth form; the per-cell
     datum term -0.5 g zb_local^2 is added by the caller)."""
     g = GRAVITY
@@ -141,11 +146,29 @@ def _hllc(hl, hr, zbm, qal_r, qcl_r, qar_r, qcr_r,
     # Stopping conditions ("prevent draining from a dry cell").  The two
     # interface-shared conditions plus each side's own outflow condition;
     # shift-invariant so identical from either adjacent cell's perspective.
+    # Single precision guards every comparison against rounding noise with
+    # an absolute floor AND a tangential-relative floor (the reference's
+    # strict 0.0 comparisons, CLSchemeGodunov.clc:105-133, zero the cell's
+    # whole discharge for ~ulp ghost velocities pointing at walls — see
+    # constants.STOP_FLOW_EPS/STOP_FLOW_REL).  f64 keeps exact
+    # reference/oracle parity (all thresholds collapse to 0.0).
     dry_l = hl <= vs
     dry_r = hr <= vs
-    cond_shared = (dry_r & (ual < 0.0)) | (dry_l & (uar > 0.0))
-    stop_l = (dry_l & (qal_raw > 0.0)) | cond_shared
-    stop_r = (dry_r & (qar_raw < 0.0)) | cond_shared
+    if hl.dtype == jnp.float32:
+        eps, rel = C.STOP_FLOW_EPS, C.STOP_FLOW_REL
+        thr_ul = jnp.maximum(eps, rel * jnp.abs(ucl))
+        thr_ur = jnp.maximum(eps, rel * jnp.abs(ucr))
+        # Raw-discharge conditions scale by the same side's raw cross
+        # discharge when the caller can supply it (the noise source).
+        thr_ql = (jnp.maximum(eps, rel * jnp.abs(qcl_raw))
+                  if qcl_raw is not None else eps)
+        thr_qr = (jnp.maximum(eps, rel * jnp.abs(qcr_raw))
+                  if qcr_raw is not None else eps)
+    else:
+        thr_ul = thr_ur = thr_ql = thr_qr = 0.0
+    cond_shared = (dry_r & (ual < -thr_ul)) | (dry_l & (uar > thr_ur))
+    stop_l = (dry_l & (qal_raw > thr_ql)) | cond_shared
+    stop_r = (dry_r & (qar_raw < -thr_qr)) | cond_shared
 
     # Velocities recomputed on reconstructed depths (strict < as in HLLC).
     vl = jnp.where(hl < vs, 0.0, ual)

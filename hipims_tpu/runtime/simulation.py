@@ -69,6 +69,14 @@ class SimulationConfig:
                                         # GSPMD halos) | "forecast"
                                         # (halo-deep windows)
     forecast_window: int = 8            # steps per exchange in forecast
+    io_mode: str = "auto"               # output/checkpoint gathering:
+                                        # "gather" (full grid on every
+                                        # host) | "stream" (bounded row
+                                        # chunks; runtime/sharded_io.py)
+                                        # | "auto" (stream above
+                                        # io_stream_cells)
+    io_stream_cells: int = 16_000_000   # auto threshold (cells)
+    io_chunk_mb: int = 64               # host-memory budget per chunk set
 
 
 class _OutputSnapshot:
@@ -106,7 +114,98 @@ class _OutputSnapshot:
                                              for a in self.static_full))
 
     def __getattr__(self, name):
+        if name == "_sim":
+            # Guard: without it a lookup before __init__ finishes (or a
+            # pickling probe) recurses through __getattr__ forever.
+            raise AttributeError(name)
         return getattr(self._sim, name)
+
+
+class _StreamingSnapshot:
+    """One output event's BOUNDED-memory view: no full-grid gather
+    anywhere (runtime/sharded_io.py; the reference's per-domain writes,
+    src/Domain/Cartesian/CDomainCartesian.cpp:804-829, never gather
+    either).  Chunk iteration is collective — in multi-process runs EVERY
+    rank must drive the writers, with file writes gated on
+    ``write_files``."""
+
+    def __init__(self, sim: "Simulation"):
+        self._sim = sim
+        self.write_files = sim.write_outputs
+        self.streaming = True
+        cols = sim.domain.logical_cols
+        # 6 f32 planes move per chunk set (4 state + 2 static).
+        self.chunk_rows = _sharded_io().chunk_rows_for(
+            cols, n_fields=6, budget_mb=sim.config.io_chunk_mb)
+
+    def stream_chunks(self, reverse=False):
+        """Yield (row0, FlowState chunk, DomainStatic chunk) host arrays
+        over the LOGICAL grid (padding cropped), bounded by chunk_rows.
+        ``reverse=True`` iterates north-first for raster writers."""
+        sim = self._sim
+        lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
+        stream = _sharded_io().stream_global_rows
+        its = [stream(a, self.chunk_rows, reverse=reverse)
+               for a in (*sim.state, *sim.static)]
+        for parts in zip(*its):
+            r0 = parts[0][0]
+            if r0 >= lr:
+                continue
+            n = min(parts[0][1].shape[0], lr - r0)
+            arrs = [p[1][:n, :lc] for p in parts]
+            yield r0, FlowState(*arrs[:4]), DomainStatic(*arrs[4:])
+
+    def sample_cells(self, rows, cols):
+        """(FlowState, DomainStatic) of the listed cells as (K,) host
+        arrays — a tiny device-side gather, replicated to every process
+        (for gauge writers)."""
+        import jax.numpy as jnp
+        sim = self._sim
+        ri = jnp.asarray(rows, jnp.int32)
+        ci = jnp.asarray(cols, jnp.int32)
+
+        @jax.jit
+        def pick(state, static):
+            return ([a[ri, ci] for a in state],
+                    [a[ri, ci] for a in static])
+        st, sc = pick(tuple(sim.state), tuple(sim.static))
+        fetch = sim._fetch_global
+        return (FlowState(*(fetch(a) for a in st)),
+                DomainStatic(*(fetch(a) for a in sc)))
+
+    def volume_device(self) -> float:
+        """Domain water volume via an on-device reduction (replicated
+        scalar; no gather)."""
+        import jax.numpy as jnp
+        sim = self._sim
+        lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
+
+        @jax.jit
+        def vol(z, zmax, zb):
+            gy = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+            gx = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            h = jnp.maximum(z - zb, 0.0)
+            keep = (zmax > C.NODATA) & (gy < lr) & (gx < lc)
+            return jnp.sum(jnp.where(keep, h, 0.0), dtype=jnp.float64)
+        v = vol(sim.state.z, sim.state.zmax, sim.static.zb)
+        return float(v) * sim.domain.dx * sim.domain.dy
+
+    def __getattr__(self, name):
+        if name == "_sim":
+            raise AttributeError(name)
+        if name in ("state_logical", "static_logical", "state_full",
+                    "static_full", "comp_full"):
+            raise AttributeError(
+                f"{name} is unavailable on a streaming output snapshot "
+                "(io_mode='stream'): it would materialise the full grid "
+                "on every host. Use stream_chunks()/sample_cells()/"
+                "volume_device(), or set io_mode='gather'.")
+        return getattr(self._sim, name)
+
+
+def _sharded_io():
+    from . import sharded_io
+    return sharded_io
 
 
 class Simulation:

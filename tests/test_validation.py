@@ -143,3 +143,59 @@ def test_muscl_beats_godunov_on_smooth_case():
         errs[scheme] = np.abs(sim.depth()[3][wet] - h_ex[wet]).mean()
 
     assert errs["muscl-hancock"] < errs["godunov"]
+
+
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock"])
+def test_stoker_f32_tracks_f64_beside_walls(scheme):
+    """Regression: single-precision runs must not lose front momentum to
+    ulp-noise stopping.  f32 rounding leaves ~1e-7 ghost cross-velocities
+    pointing at the channel walls; with the reference's strict stopping
+    comparison (CLSchemeGodunov.clc:105-133) those zeroed the cell's whole
+    discharge, producing 0.11 m mean depth errors on this exact problem
+    (vs 0.009 in f64).  STOP_FLOW_EPS thresholds the single-precision
+    comparisons; the f32 solution must now track f64 to ~1e-4."""
+    n, dx = 400, 2.0
+    x = (np.arange(n) + 0.5) * dx
+    depth = np.where(x < n * dx / 2, 2.0, 0.2)
+
+    sols = {}
+    for dtype in ("float64", "float32"):
+        dom = _strip_domain(np.zeros(n), depth, dx)
+        cfg = SimulationConfig(scheme=scheme, duration=20.0,
+                               output_frequency=20.0, friction=False,
+                               batch_size=32, dtype=dtype)
+        sim = Simulation(dom, cfg)
+        sim.run()
+        sols[dtype] = sim.depth()
+
+    dh = np.abs(sols["float64"] - sols["float32"])
+    assert dh.max() < 1e-3, f"f32 diverged from f64: max |dh| = {dh.max()}"
+
+
+def test_stop_condition_eps_semantics():
+    """The stopping conditions treat sub-STOP_FLOW_EPS velocities as zero
+    in f32 but keep the reference's strict comparison in f64 (oracle
+    parity).  Wet cell (left) beside a high dry wall (right), with a tiny
+    ghost velocity pushing toward the wall."""
+    import jax.numpy as jnp
+
+    from hipims_tpu import constants as C
+    from hipims_tpu.ops.riemann import solve_interfaces
+
+    ghost = 1e-7            # m/s-scale noise, below STOP_FLOW_EPS
+    real = 1e-3             # a real (if small) flow, above it
+    for dt_, stops_on_ghost in ((jnp.float32, False), (jnp.float64, True)):
+        def one(q_toward_wall):
+            zl = jnp.asarray([[1.0]], dt_)      # wet, depth 1 over bed 0
+            zbl = jnp.asarray([[0.0]], dt_)
+            zr = jnp.asarray([[9999.9]], dt_)   # wall: dry at its own bed
+            zbr = jnp.asarray([[9999.9]], dt_)
+            qal = jnp.asarray([[q_toward_wall]], dt_)  # along, toward wall
+            zero = jnp.zeros((1, 1), dt_)
+            f = solve_interfaces(zl, zbl, qal, zero, zr, zbr, zero, zero,
+                                 C.VERY_SMALL)
+            return bool(f.stop_l[0, 0]) or bool(f.stop_r[0, 0])
+
+        assert one(real) is True, f"{dt_}: real inflow must stop"
+        assert one(ghost) is stops_on_ghost, (
+            f"{dt_}: ghost velocity stop behaviour wrong")
