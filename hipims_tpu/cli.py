@@ -46,6 +46,11 @@ def parse_args(argv=None):
                     help="override the XML floatingPointPrecision (e.g. "
                          "run a reference 'double' model in the "
                          "compensated f32 mode on TPU)")
+    ap.add_argument("--io-mode", default=None,
+                    choices=("auto", "gather", "stream"),
+                    help="output/checkpoint gathering: full-grid gather, "
+                         "bounded streamed chunks (large grids), or "
+                         "auto by grid size (default)")
     ap.add_argument("--mass-balance", action="store_true",
                     help="log the domain water volume at every output "
                          "time (the papers' <1%% budget check as a "
@@ -106,6 +111,8 @@ def main(argv=None):
     if args.precision:
         model.config.dtype = {"double": "float64", "float": "float32",
                               "compensated": "float32c"}[args.precision]
+    if args.io_mode:
+        model.config.io_mode = args.io_mode
     log.line(f"  Grid:        {model.domain.rows} x {model.domain.cols} "
              f"@ {model.domain.dx} m")
     log.line(f"  Precision:   {model.config.dtype}")

@@ -33,6 +33,8 @@ def save_checkpoint(path, sim, snapshot=None):
     import jax
 
     path = Path(path)
+    if snapshot is not None and getattr(snapshot, "streaming", False):
+        return _save_checkpoint_streamed(path, sim, snapshot)
     if snapshot is not None:
         state_full, comp_full = snapshot.state_full, snapshot.comp_full
     else:
@@ -74,6 +76,60 @@ def save_checkpoint(path, sim, snapshot=None):
     if jax.process_count() > 1:
         # Barrier so a rank resuming right after the save (shared
         # filesystem) never reads a half-written file.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("hipims_checkpoint_save")
+
+
+def _save_checkpoint_streamed(path, sim, snap):
+    """Bounded-memory checkpoint: every plane streams chunk-by-chunk into
+    one zip member (runtime/sharded_io.py), so no full plane is ever
+    assembled on any host.  The container is np.savez_compressed-
+    compatible — load_checkpoint reads both formats identically.  Chunk
+    collectives run on EVERY rank; only rank 0 writes."""
+    import json as _json
+
+    import jax
+
+    from .sharded_io import StreamingCheckpointWriter, stream_global_rows
+
+    write = jax.process_index() == 0
+    meta = dict(
+        version=CHECKPOINT_VERSION,
+        scheme=sim.config.scheme,
+        dtype=sim.config.dtype,
+        rows=sim.domain.rows,
+        cols=sim.domain.cols,
+        logical_rows=sim.domain.logical_rows,
+        logical_cols=sim.domain.logical_cols,
+        duration=sim.config.duration,
+        datum=getattr(sim.domain, "datum", 0.0),
+    )
+    planes = [("z", sim.state.z), ("zmax", sim.state.zmax),
+              ("qx", sim.state.qx), ("qy", sim.state.qy)]
+    if getattr(sim, "comp", None) is not None:
+        planes.append(("comp", sim.comp))
+    zw = None
+    if write:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        zw = StreamingCheckpointWriter(path)
+        zw.add_array("meta", _json.dumps(meta))
+        for key, val in (("t", sim.carry.t), ("dt", sim.carry.dt),
+                         ("t_hydro", sim.carry.t_hydro),
+                         ("batch_dt_total", sim.carry.batch_dt_total),
+                         ("batch_successful", sim.carry.batch_successful),
+                         ("batch_skipped", sim.carry.batch_skipped)):
+            zw.add_array(key, np.asarray(val))
+    for key, arr in planes:
+        chunks = (c for _, c in stream_global_rows(arr, snap.chunk_rows))
+        if write:
+            zw.stream_array(key, arr.shape, np.dtype(arr.dtype), chunks)
+        else:
+            for _ in chunks:        # symmetric collectives, data dropped
+                pass
+    if write:
+        zw.close()
+    if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("hipims_checkpoint_save")
 

@@ -73,9 +73,13 @@ def derive_field(value: str, state, static, resolution: float,
 
 
 def domain_volume(view, domain) -> float:
-    """Domain water volume [m^3] from an already-gathered view (a
-    Simulation or _OutputSnapshot) — the reference's per-domain volume
-    sum (src/Domain/Cartesian/CDomainCartesian.cpp:743-760)."""
+    """Domain water volume [m^3] — the reference's per-domain volume
+    sum (src/Domain/Cartesian/CDomainCartesian.cpp:743-760).
+
+    Streaming snapshots compute it as an on-device reduction (replicated
+    scalar, no gather); gathered views sum their host copy."""
+    if getattr(view, "streaming", False):
+        return view.volume_device()
     z = np.asarray(view.state_logical.z, np.float64)
     zb = np.asarray(view.static_logical.zb, np.float64)
     h = np.maximum(z - zb, 0.0)
@@ -111,11 +115,25 @@ class GaugeOutputWriter:
             f.write("Time (s)," + ",".join(names) + "\n")
 
     def __call__(self, sim, t: float):
-        field = derive_field(self.value, sim.state_logical,
-                             sim.static_logical, sim.domain.dx,
-                             datum=getattr(sim.domain, "datum", 0.0))
-        vals = [field[r, c] for r, c in self.cells]
-        vals = [0.0 if v == NODATA else v for v in vals]
+        if getattr(sim, "streaming", False):
+            # Tiny device-side gather of just the gauge cells (collective:
+            # every rank samples, only writing ranks append).
+            rows = [r for r, _ in self.cells]
+            cols = [c for _, c in self.cells]
+            st, sc = sim.sample_cells(rows, cols)
+            field = derive_field(self.value, st, sc, sim.domain.dx,
+                                 datum=getattr(sim.domain, "datum", 0.0))
+            vals = list(np.asarray(field))
+            if not getattr(sim, "write_files", True):
+                return
+        else:
+            field = derive_field(self.value, sim.state_logical,
+                                 sim.static_logical, sim.domain.dx,
+                                 datum=getattr(sim.domain, "datum", 0.0))
+            vals = [field[r, c] for r, c in self.cells]
+        # Exact-NODATA mask would be fragile against float formatting;
+        # derived fields set exactly -9999.0 but compare robustly anyway.
+        vals = [0.0 if np.isclose(v, NODATA) else v for v in vals]
         with open(self.target_path, "a") as f:
             f.write(f"{t:.6f}," + ",".join(f"{v:.6f}" for v in vals) + "\n")
 
@@ -150,8 +168,36 @@ def read_gauge_map(path):
     return gauges
 
 
+class _AssembleRows:
+    """Fallback strip sink for formats without a streaming container
+    (HFA): accumulates map-oriented rows on the WRITING rank only and
+    writes the file at close (one plane on one host, never on all)."""
+
+    def __init__(self, path, fmt, xll, yll, cell_size):
+        self.path, self.fmt = path, fmt
+        self.xll, self.yll, self.cell_size = xll, yll, cell_size
+        self._rows = []
+
+    def write_rows(self, block):
+        self._rows.append(np.asarray(block, np.float32))
+
+    def close(self):
+        data = np.concatenate(self._rows)
+        write_raster(self.path,
+                     Raster(data=data, xll=self.xll, yll=self.yll,
+                            cell_size=self.cell_size, nodata=NODATA),
+                     fmt=self.fmt)
+
+
 class RasterOutputWriter:
-    """Writes the configured <dataTarget> rasters at each output time."""
+    """Writes the configured <dataTarget> rasters at each output time.
+
+    Streaming snapshots (io_mode='stream') are consumed chunk-by-chunk,
+    north-first, into incremental strip writers — ALL targets share one
+    chunk pass, and no full field is assembled on any host (TIFF/ASC; HFA
+    assembles on the writing rank only).  The streamed and gathered paths
+    produce byte-identical TIFF/ASC files (both run the same strip
+    writers over the same rows)."""
 
     def __init__(self, targets, target_dir, domain):
         """targets: list of dicts with keys value, format, target (filename
@@ -162,8 +208,42 @@ class RasterOutputWriter:
         self.domain = domain
         os.makedirs(target_dir, exist_ok=True)
 
+    def _open_strip_writer(self, path, fmt, rows, cols):
+        from ..io.raster import TiffStripWriter
+        from .sharded_io import AscStripWriter
+        d = self.domain
+        if fmt in ("asc", "aaigrid"):
+            return AscStripWriter(path, cols, rows, xll=d.xll, yll=d.yll,
+                                  cell_size=d.dx, nodata=NODATA)
+        if fmt in ("tif", "tiff", "gtiff"):
+            return TiffStripWriter(path, cols, rows, xll=d.xll, yll=d.yll,
+                                   cell_size=d.dx, nodata=NODATA)
+        return _AssembleRows(path, fmt, d.xll, d.yll, d.dx)
+
     def __call__(self, sim, t: float):
         from pathlib import Path
+        if getattr(sim, "streaming", False):
+            datum = getattr(sim.domain, "datum", 0.0)
+            lr = sim.domain.logical_rows
+            lc = sim.domain.logical_cols
+            write = getattr(sim, "write_files", True)
+            sinks = []
+            if write:
+                for tgt in self.targets:
+                    name = tgt["target"].replace("%t", time_label(t))
+                    sinks.append(self._open_strip_writer(
+                        Path(self.target_dir) / name,
+                        tgt.get("format", "tif").lower(), lr, lc))
+            # One chunk pass feeds every target; non-writing ranks still
+            # drive the (collective) chunk stream.
+            for _r0, st, sc in sim.stream_chunks(reverse=True):
+                for tgt, sink in zip(self.targets, sinks):
+                    field = derive_field(tgt["value"], st, sc,
+                                         sim.domain.dx, datum=datum)
+                    sink.write_rows(field[::-1])
+            for sink in sinks:
+                sink.close()
+            return
         for tgt in self.targets:
             field = derive_field(tgt["value"], sim.state_logical,
                                  sim.static_logical, sim.domain.dx,

@@ -92,8 +92,11 @@ class _OutputSnapshot:
     times costs one gather set, and delegates everything else to the
     simulation."""
 
+    streaming = False
+
     def __init__(self, sim: "Simulation"):
         self._sim = sim
+        self.write_files = sim.write_outputs
         fetch = sim._fetch_global
         lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
         # Full (padded) gathered arrays — shared with save_checkpoint so
@@ -163,12 +166,7 @@ class _StreamingSnapshot:
         sim = self._sim
         ri = jnp.asarray(rows, jnp.int32)
         ci = jnp.asarray(cols, jnp.int32)
-
-        @jax.jit
-        def pick(state, static):
-            return ([a[ri, ci] for a in state],
-                    [a[ri, ci] for a in static])
-        st, sc = pick(tuple(sim.state), tuple(sim.static))
+        st, sc = _pick_cells(tuple(sim.state), tuple(sim.static), ri, ci)
         fetch = sim._fetch_global
         return (FlowState(*(fetch(a) for a in st)),
                 DomainStatic(*(fetch(a) for a in sc)))
@@ -176,18 +174,9 @@ class _StreamingSnapshot:
     def volume_device(self) -> float:
         """Domain water volume via an on-device reduction (replicated
         scalar; no gather)."""
-        import jax.numpy as jnp
         sim = self._sim
-        lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
-
-        @jax.jit
-        def vol(z, zmax, zb):
-            gy = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-            gx = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-            h = jnp.maximum(z - zb, 0.0)
-            keep = (zmax > C.NODATA) & (gy < lr) & (gx < lc)
-            return jnp.sum(jnp.where(keep, h, 0.0), dtype=jnp.float64)
-        v = vol(sim.state.z, sim.state.zmax, sim.static.zb)
+        v = _device_volume(sim.state.z, sim.state.zmax, sim.static.zb,
+                           sim.domain.logical_rows, sim.domain.logical_cols)
         return float(v) * sim.domain.dx * sim.domain.dy
 
     def __getattr__(self, name):
@@ -206,6 +195,24 @@ class _StreamingSnapshot:
 def _sharded_io():
     from . import sharded_io
     return sharded_io
+
+
+@jax.jit
+def _pick_cells(state, static, ri, ci):
+    return ([a[ri, ci] for a in state], [a[ri, ci] for a in static])
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _device_volume(z, zmax, zb, lr, lc):
+    gy = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    h = jnp.maximum(z - zb, 0.0)
+    keep = (zmax > C.NODATA) & (gy < lr) & (gx < lc)
+    # f64 accumulation of the f32 planes (the x64 flag is on in f64 runs;
+    # in f32 runs promotion still happens on CPU hosts with x64 enabled —
+    # harmless for a diagnostic scalar).
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return jnp.sum(jnp.where(keep, h, 0.0), dtype=acc)
 
 
 class Simulation:
@@ -524,11 +531,34 @@ class Simulation:
         self._batch_size = max(8, size)
 
     # ------------------------------------------------------------------
+    def io_streaming(self) -> bool:
+        """True when output/checkpoint events use the bounded-memory
+        streamed path (runtime/sharded_io.py) instead of full-grid
+        gathers."""
+        mode = self.config.io_mode
+        if mode in ("stream", "gather"):
+            return mode == "stream"
+        cells = self.domain.logical_rows * self.domain.logical_cols
+        return cells >= self.config.io_stream_cells
+
     def emit_output(self, t: float):
-        """Run one output event SPMD-symmetrically: gather the global
-        state ONCE on every process (collectives), then write files /
-        checkpoints only where write_outputs is set."""
+        """Run one output event SPMD-symmetrically.
+
+        Gathered mode: the global state is gathered ONCE on every process
+        (collectives), then files are written only where write_outputs is
+        set.  Streamed mode (large grids / io_mode='stream'): no full
+        gather anywhere — every rank drives the writers' bounded chunk
+        collectives, and the writers gate file writes on
+        ``snap.write_files`` internally."""
         if self.output_writer is None and self.checkpoint_path is None:
+            return
+        if self.io_streaming():
+            snap = _StreamingSnapshot(self)
+            if self.checkpoint_path is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_path, self, snapshot=snap)
+            if self.output_writer is not None:
+                self.output_writer(snap, t)
             return
         snap = _OutputSnapshot(self)
         if self.checkpoint_path is not None:

@@ -85,13 +85,57 @@ sim2.run_to(3.0)
 z3 = gather_to_host(sim2.state.z)
 t3 = sim2.t
 
+# ---- Phase B (VERDICT r4 items 2+5): MUSCL-Hancock + forecast halo-deep
+# windows + a position-dependent gridded (radar) boundary + STREAMED
+# output I/O, all under the real 2-process cluster.  The streamed writer
+# must produce byte-identical rasters to the gathered writer.
+from hipims_tpu.ops.boundaries import GriddedBoundary
+from hipims_tpu.runtime.output import RasterOutputWriter
+
+series = np.zeros((4, 2, 2))
+series[:, 1, 1] = 3600.0                  # mm/hr, NE quadrant only
+rain = GriddedBoundary(series=series, interval=600.0,
+                       resolution=n * 2.0 / 2.0, offset_x=0.0,
+                       offset_y=0.0, mass_flux=False, length=2400.0)
+
+def build_b(io_mode, outsub):
+    domB = Domain(zb=np.zeros((n, n)), manning=0.02, dx=2.0, dy=2.0)
+    domB.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
+    cfgB = SimulationConfig(scheme="muscl-hancock", duration=3.0,
+                            output_frequency=1.5, batch_size=2,
+                            batch_auto=False, sync_method="forecast",
+                            forecast_window=2, io_mode=io_mode)
+    wB = RasterOutputWriter(
+        [dict(value="depth", format="tif", target="d_%t.tif")],
+        os.path.join(outdir, outsub), domB)
+    simB = Simulation(domB, cfgB, boundaries=(rain,), mesh=make_mesh(8),
+                      output_writer=wB)
+    simB.write_outputs = is_coordinator()
+    return simB
+
+simB = build_b("stream", "rastersB_stream")
+simB.run()
+zB = gather_to_host(simB.state.z)
+volB = simB.volume()
+simBg = build_b("gather", "rastersB_gather")
+simBg.run()
+assert abs(simBg.t - simB.t) < 1e-9
+np.testing.assert_array_equal(gather_to_host(simBg.state.z), zB)
+
 if is_coordinator():
+    import glob
+    sfiles = sorted(glob.glob(os.path.join(outdir, "rastersB_stream/*")))
+    gfiles = sorted(glob.glob(os.path.join(outdir, "rastersB_gather/*")))
+    assert len(sfiles) == 2 and len(gfiles) == 2, (sfiles, gfiles)
+    for sf, gf in zip(sfiles, gfiles):
+        assert open(sf, "rb").read() == open(gf, "rb").read(), (sf, gf)
     np.savez(os.path.join(outdir, "result.npz"), z=z, t=sim.t, vol=vol,
-             z3=z3, t3=t3)
+             z3=z3, t3=t3, zB=zB, tB=simB.t, volB=volB)
 else:
     # The coordinator gate: rank 1 must NOT write outputs.
     assert not is_coordinator()
-    np.savez(os.path.join(outdir, "rank1.npz"), ok=True, vol=vol)
+    np.savez(os.path.join(outdir, "rank1.npz"), ok=True, vol=vol,
+             volB=volB)
 print("WORKER_DONE", pid)
 """
 
@@ -125,7 +169,7 @@ def test_two_process_cluster_matches_single(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -182,3 +226,28 @@ def test_two_process_cluster_matches_single(tmp_path):
     assert float(res["t3"]) == pytest.approx(ref3.t, abs=1e-9)
     np.testing.assert_allclose(res["z3"], np.asarray(ref3.state.z),
                                rtol=1e-7, atol=5e-9)
+
+    # Phase B: the cluster's MUSCL + forecast + gridded-rain + streamed-IO
+    # run must reproduce the single-process 8-device run.
+    from hipims_tpu.ops.boundaries import GriddedBoundary
+    series = np.zeros((4, 2, 2))
+    series[:, 1, 1] = 3600.0
+    rain = GriddedBoundary(series=series, interval=600.0,
+                           resolution=n * 2.0 / 2.0, offset_x=0.0,
+                           offset_y=0.0, mass_flux=False, length=2400.0)
+    domB = Domain(zb=np.zeros((n, n)), manning=0.02, dx=2.0, dy=2.0)
+    domB.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
+    cfgB = SimulationConfig(scheme="muscl-hancock", duration=3.0,
+                            output_frequency=1.5, batch_size=2,
+                            batch_auto=False, sync_method="forecast",
+                            forecast_window=2)
+    refB = Simulation(domB, cfgB, boundaries=(rain,), mesh=make_mesh(8))
+    refB.run()
+    assert float(res["tB"]) == pytest.approx(refB.t, abs=1e-9)
+    np.testing.assert_allclose(res["zB"], np.asarray(refB.state.z),
+                               rtol=1e-6, atol=1e-7)
+    assert float(res["volB"]) == pytest.approx(refB.volume(), rel=1e-6)
+    assert float(rank1["volB"]) == pytest.approx(float(res["volB"]),
+                                                 rel=1e-12)
+    # Rain fell (the NE-quadrant georeferencing was live on the cluster).
+    assert float(res["volB"]) > float(res["vol"]) * 0.9

@@ -376,3 +376,86 @@ def test_muscl_rainfall_halo_deep_matches_single_device(mesh8):
         sim.run()
         np.testing.assert_array_equal(np.asarray(sim.state.z),
                                       np.asarray(ref.state.z))
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (8, 1)])
+@pytest.mark.parametrize("scheme", ["godunov", "muscl-hancock"])
+def test_extreme_aspect_mesh_matches_single_device(scheme, shape):
+    """Deliberately non-square 1x8 / 8x1 meshes (one mesh axis unsplit):
+    the halo machinery must degrade to strip exchanges along a single
+    axis and still reproduce the single-device run (VERDICT r4 item 5)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, shape=shape)
+    ref = _run(scheme, mesh=None)
+    shd = _run(scheme, mesh=mesh)
+    assert shd.t == pytest.approx(ref.t, abs=1e-9)
+    for a, b, name in zip(ref.state, shd.state, ("z", "zmax", "qx", "qy")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=5e-9, err_msg=name)
+
+
+_WORKER_16 = r"""
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           .replace("--xla_force_host_platform_device_count=8", "")
+                           + " --xla_force_host_platform_device_count=16")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from hipims_tpu.domain import Domain
+from hipims_tpu.ops.boundaries import GriddedBoundary
+from hipims_tpu.parallel import make_mesh
+from hipims_tpu.runtime import Simulation, SimulationConfig
+
+assert len(jax.devices()) == 16
+n = 64
+series = np.zeros((4, 2, 2)); series[:, 1, 1] = 3600.0
+rain = GriddedBoundary(series=series, interval=600.0,
+                       resolution=n * 2.0 / 2.0, offset_x=0.0,
+                       offset_y=0.0, mass_flux=False, length=2400.0)
+
+def build(mesh, sync):
+    dom = Domain(zb=np.zeros((n, n)), manning=0.02, dx=2.0, dy=2.0)
+    yy, xx = np.mgrid[0:n, 0:n]
+    r = np.hypot((yy - n / 2) * 2.0, (xx - n / 2) * 2.0)
+    dom.set_initial_depth(np.where(r <= 16.0, 2.5, 0.5))
+    cfg = SimulationConfig(scheme="muscl-hancock", duration=2.0,
+                           output_frequency=2.0, batch_size=2,
+                           batch_auto=False, sync_method=sync,
+                           forecast_window=2)
+    return Simulation(dom, cfg, boundaries=(rain,), mesh=mesh)
+
+ref = build(None, "timestep"); ref.run()
+for shape in ((4, 4), (2, 8)):
+    shd = build(make_mesh(16, shape=shape), "forecast"); shd.run()
+    assert abs(shd.t - ref.t) < 1e-9, shape
+    np.testing.assert_allclose(np.asarray(shd.state.z),
+                               np.asarray(ref.state.z),
+                               rtol=1e-7, atol=5e-9,
+                               err_msg=str(shape))
+    assert abs(shd.volume() - ref.volume()) < 1e-6 * ref.volume()
+print("OK16")
+"""
+
+
+@pytest.mark.slow
+def test_sixteen_device_mesh_forecast(tmp_path):
+    """16 virtual devices (4x4 and 2x8), MUSCL + forecast windows +
+    gridded rain vs single-device — beyond the suite-wide 8-device cap
+    (VERDICT r4 item 5)."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "w16.py"
+    script.write_text(_WORKER_16)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run([sys.executable, str(script)], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    assert "OK16" in p.stdout
