@@ -22,6 +22,10 @@ Environment knobs (defaults in parentheses):
   BENCH_BACKEND (auto), BENCH_VARIANT (measured default)
   BENCH_MESH (unset)            run on an N-device mesh (1 = the
                                 halo-deep machinery on one chip)
+  BENCH_SYNC (timestep)         mesh sync discipline; "forecast" enables
+                                halo-deep windows with the amortised
+                                (one-collective-per-window) dt
+  BENCH_WINDOW (8)              steps per forecast exchange window
   BENCH_SKIP_EXTRA=1            headline only (no f32c/f64/mesh extras)
   BENCH_EXTRA_DEADLINE (420 s)  wall budget before extras are skipped
 """
@@ -62,7 +66,7 @@ def build_domain(rows, cols):
 
 
 def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps,
-             mesh_n=None):
+             mesh_n=None, sync=None, window=None):
     """Return (rate_cells_per_s, elapsed, sim, carry) for one config."""
     import jax.numpy as jnp
 
@@ -77,29 +81,40 @@ def run_case(scheme, dtype, backend, variant, rows, cols, steps, reps,
         from hipims_tpu.parallel import make_mesh
         mesh = make_mesh(mesh_n)
 
+    # Forecast-window sweep knobs (BENCH_SYNC=forecast BENCH_WINDOW=K):
+    # under a mesh, K steps share one halo exchange AND one CFL
+    # collective (parallel/halo_deep.py dt_mode="window").
+    sync = sync or os.environ.get("BENCH_SYNC", "timestep")
+    window = window if window is not None else int(
+        os.environ.get("BENCH_WINDOW", 8))
     cfg = SimulationConfig(scheme=scheme, duration=1e9,
                            output_frequency=1e9, dtype=dtype,
                            batch_size=steps, batch_auto=False,
-                           kernel_backend=backend, muscl_variant=variant)
+                           kernel_backend=backend, muscl_variant=variant,
+                           sync_method=sync, forecast_window=window)
     sim = Simulation(build_domain(rows, cols), cfg, mesh=mesh)
-    sync = jnp.asarray(1e9, dtype=sim.dtype)
+    sync_t = jnp.asarray(1e9, dtype=sim.dtype)
+    # ``steps`` counts PHYSICAL steps; the halo-deep forecast path scans
+    # windows, so convert (and report the true cell-update rate).
+    units = max(1, steps // sim._steps_per_unit)
+    physical = units * sim._steps_per_unit
 
     # Warm-up (compile + first batch).  The scalar read-back is the sync
     # point: block_until_ready alone does not block through the remote
     # relay used in this environment.
     state, carry, comp = sim._run_batch(sim.state, sim.carry, sim.static,
-                                        sync, sim.comp, n_steps=steps)
+                                        sync_t, sim.comp, n_steps=units)
     _ = float(carry.t)
 
     times = []
     for _i in range(reps):
         t0 = time.perf_counter()
-        state, carry, comp = sim._run_batch(state, carry, sim.static, sync,
-                                            comp, n_steps=steps)
+        state, carry, comp = sim._run_batch(state, carry, sim.static,
+                                            sync_t, comp, n_steps=units)
         _ = float(carry.t)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    return rows * cols * steps / elapsed, elapsed, sim, carry
+    return rows * cols * physical / elapsed, elapsed, sim, carry
 
 
 _T0 = time.monotonic()

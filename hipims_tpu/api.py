@@ -79,24 +79,20 @@ class SimulationHandle:
         the state already gathered — use handle.field(...) inside it for
         visualisation frames (the reference DLL's cell-data callbacks,
         src/main.h:99-154).  Rides the simulation's writer chain so the
-        timing matches file outputs exactly."""
-        if not self._output_cbs:
-            inner_writer = self._sim.output_writer
+        timing matches file outputs exactly.
 
-            def chained(sim_view, t):
-                if inner_writer is not None:
-                    inner_writer(sim_view, t)
-                # Expose the event's already-gathered snapshot so
-                # field() inside a callback costs no extra gathers.
-                self._snapshot = sim_view
-                try:
-                    for cb in self._output_cbs:
-                        cb(self, t)
-                finally:
-                    self._snapshot = None
-
-            self._sim.output_writer = chained
+        The chain adopts whatever writer is installed at registration
+        time as its ``inner``; code that wants to ADD a writer after
+        registering callbacks should wrap ``handle.simulation
+        .output_writer.inner`` (or simply register before other writer
+        modifications) — replacing ``output_writer`` outright would
+        disconnect the callbacks, so each registration re-adopts a
+        foreign writer it finds installed."""
         self._output_cbs.append(callback)
+        current = self._sim.output_writer
+        if not (isinstance(current, _ChainedWriter)
+                and current.handle is self):
+            self._sim.output_writer = _ChainedWriter(self, current)
         return self
 
     # -- reference: SimulationAbort (main.cpp:246-258) ------------------
@@ -147,6 +143,30 @@ class SimulationHandle:
     @property
     def simulation(self):
         return self._sim
+
+
+class _ChainedWriter:
+    """The writer installed by SimulationHandle.on_output: runs the
+    adopted ``inner`` writer first, then fires the handle's callbacks
+    with the event snapshot exposed.  ``inner`` is a public attribute so
+    later code can extend the chain instead of clobbering it."""
+
+    def __init__(self, handle, inner):
+        self.handle = handle
+        self.inner = inner
+
+    def __call__(self, sim_view, t):
+        if self.inner is not None:
+            self.inner(sim_view, t)
+        h = self.handle
+        # Expose the event's already-gathered snapshot so field() inside
+        # a callback costs no extra gathers.
+        h._snapshot = sim_view
+        try:
+            for cb in h._output_cbs:
+                cb(h, t)
+        finally:
+            h._snapshot = None
 
 
 class _Aborted(Exception):

@@ -64,12 +64,31 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def _set_platform(platform: str) -> bool:
+    """Apply a jax_platforms hint; returns False when the JAX backend is
+    already initialised in-process (an embedding caller touched JAX
+    first), in which case the update would be silently ineffective."""
+    import jax
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            return False
+    except (ImportError, AttributeError):
+        pass
+    jax.config.update("jax_platforms", platform)
+    return True
+
+
 def main(argv=None):
     args = parse_args(argv)
 
+    platform_warning = None
     if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+        if not _set_platform(args.platform):
+            platform_warning = (
+                f"WARNING: --platform {args.platform} ignored: the JAX "
+                "backend was already initialised before cli.main() ran; "
+                "set JAX_PLATFORMS in the environment instead")
 
     coordinator = True
     if args.distributed is not None:
@@ -91,6 +110,8 @@ def main(argv=None):
     log = Logger(path=args.log_file if coordinator else None,
                  quiet=args.quiet_mode or not coordinator)
     log.block("Model configuration")
+    if platform_warning:
+        log.line(platform_warning)
     if args.mpi_mode:
         log.line("note: --mpi-mode is a no-op here; multi-process runs "
                  "use --distributed (rank gating is automatic)")
@@ -127,11 +148,13 @@ def main(argv=None):
             log.line("WARNING: deviceFilter platform hint ignored "
                      "under --distributed (backend already "
                      "initialised); use --platform or JAX_PLATFORMS")
-        else:
-            import jax
-            jax.config.update("jax_platforms", model.platform_hint)
+        elif _set_platform(model.platform_hint):
             log.line(f"  Platform:    {model.platform_hint} "
                      "(from deviceFilter)")
+        else:
+            log.line("WARNING: deviceFilter platform hint ignored "
+                     "(JAX backend already initialised in-process); "
+                     "use JAX_PLATFORMS or --platform at launch")
 
     mesh = None
     if args.mesh or args.mesh_shape:

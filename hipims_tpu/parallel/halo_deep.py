@@ -79,7 +79,9 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                           backend: str = "xla",
                           interpret: bool = False,
                           muscl_variant=None,
-                          local_rows=None):
+                          local_rows=None,
+                          dt_mode: str = "window",
+                          dt_safety: float = 1.05):
     """Jitted runner: (state, carry, static, sync_time, comp, n_windows) ->
     (state, carry, comp), executing ``window`` steps per halo exchange.
     ``comp`` is the compensated-f32 z residue plane (or None); it is halo-
@@ -90,7 +92,30 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
     link+scheme integration (src/Schemes/CSchemeGodunov.cpp:1235-1334)
     re-expressed as shard_map(ppermute halos -> fused kernel window); the
     kernels' own CFL partial max is restricted to owned cells so the
-    lock-step dt is bit-identical to the single-device run."""
+    lock-step dt is bit-identical to the single-device run.
+
+    ``dt_mode`` (active when window > 1, i.e. forecast sync):
+
+    * ``"step"`` — lock-step: a global scalar pmax of wave speeds EVERY
+      step (the MPI_Allreduce(MIN) analogue).  Bit-compatible with the
+      per-step GSPMD path; the halo payload is amortised but the
+      collective latency is not.
+    * ``"window"`` (default) — the TPU-native completion of the
+      reference's forecast idea (free-running domains between sync
+      points, CSchemeGodunov.cpp:1758-1790 proposeSyncPoint +
+      CDomainBase.cpp:163-174 rollback limit): O(1) collectives per
+      window.  The window's dt schedule derives from the global max wave
+      speed FROZEN at the previous exchange, inflated by ``dt_safety``;
+      each step runs collective-free (the time-controller clamp ladder
+      still applies per step, deterministically replicated).  One pmax at
+      window end yields the observed in-window max speed — it validates
+      the schedule AND seeds the next window.  If speeds grew beyond the
+      safety margin, the window re-runs from its saved start state with
+      the corrected speed (the reference's rollback, realised: the
+      halo-extended block at exchange time IS the rollback snapshot the
+      reference never finished — CModel.cpp:988 "code not yet ready").
+      Every accepted window is therefore rigorously CFL-valid — stronger
+      than lock-step, whose dt always lags the speed by one step."""
     py, px = mesh.devices.shape
     radius = 2 if scheme.name == "muscl-hancock" else 1
     pad_r, pad_c = halo_pads(window, radius, backend, local_rows)
@@ -179,8 +204,29 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
             origin = jnp.stack([oy - pad_r, ox - pad_c]).astype(
                 jnp.int32).reshape(1, 2)
 
-            def step_body(sc, _):
-                st, cr, cm = sc
+            own = ((gy >= oy) & (gy < oy + r)
+                   & (gx >= ox) & (gx < ox + c))
+
+            def owned_max_speed(st):
+                """Max wave speed over this device's owned cells."""
+                h = st.z - ezb
+                wet = (h > params.quite_small) & (st.zmax > C.NODATA)
+                hs = jnp.where(wet, h, 1.0)
+                cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
+                if simplified:
+                    spd = cel
+                else:
+                    spd = jnp.maximum(jnp.abs(st.qx),
+                                      jnp.abs(st.qy)) / hs + cel
+                return jnp.max(jnp.where(wet & own, spd, 0.0))
+
+            def pmax2(v):
+                return jax.lax.pmax(jax.lax.pmax(v, "my"), "mx")
+
+            def one_step(st, cr, cm):
+                """Boundaries + scheme step on the extended block; returns
+                (new_state, local_max_speed, new_comp) with NO collective
+                and NO time-controller advance."""
                 # Boundaries on the extended block (halo copies get the
                 # same forcing their owners apply); position-dependent
                 # forcing evaluates in global coordinates via the block
@@ -231,40 +277,88 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                         cm_new = None
                     new = FlowState(*(jnp.where(ring, o, v)
                                       for o, v in zip(st, new)))
-                    # Global lock-step dt: max speed over owned cells.
-                    h = new.z - ezb
-                    wet = (h > params.quite_small) & (new.zmax > C.NODATA)
-                    hs = jnp.where(wet, h, 1.0)
-                    cel = jnp.sqrt(C.GRAVITY * jnp.maximum(h, 0.0))
-                    if simplified:
-                        spd = cel
-                    else:
-                        spd = jnp.maximum(jnp.abs(new.qx),
-                                          jnp.abs(new.qy)) / hs + cel
-                    # Only this device's owned cells count (each once).
-                    own = ((gy >= oy) & (gy < oy + r)
-                           & (gx >= ox) & (gx < ox + c))
-                    spd = jnp.where(wet & own, spd, 0.0)
-                    local_max = jnp.max(spd)
+                    local_max = owned_max_speed(new)
+                return new, local_max, cm_new
 
-                # Max across the mesh (the Allreduce(MIN) analogue).
-                gmax = jax.lax.pmax(jax.lax.pmax(local_max, "my"), "mx")
+            def step_body(sc, _):
+                """Lock-step: pmax + controller advance EVERY step (the
+                MPI_Allreduce(MIN) analogue)."""
+                st, cr, cm = sc
+                new, local_max, cm_new = one_step(st, cr, cm)
+                gmax = pmax2(local_max)
                 cr = advance(cr, gmax, sync_time, end_time, params.dx,
                              ts_params)
                 return (new, cr, cm_new), None
 
+            amortise = dt_mode == "window" and window > 1
+
+            def run_frozen_window(est, cr, cm, g):
+                """K collective-free steps on the frozen speed ``g`` (dt =
+                clamp ladder fed with g*dt_safety), then ONE pmax of the
+                in-window observed max speed."""
+                def stepF(sc, _):
+                    st, c, m, smax = sc
+                    new, local_max, m_new = one_step(st, c, m)
+                    c = advance(c, g * dt_safety, sync_time, end_time,
+                                params.dx, ts_params)
+                    return (new, c, m_new,
+                            jnp.maximum(smax, local_max)), None
+                (est, cr, cm, smax), _ = jax.lax.scan(
+                    stepF, (est, cr, cm, jnp.zeros_like(g)), length=window)
+                return est, cr, cm, pmax2(smax)
+
             def window_body(wc, _):
-                est, cr, cm = wc
+                est, cr, cm, gmax = wc
                 est = FlowState(*(_refresh_halos(a) for a in est))
                 if compensated:
                     cm = _refresh_halos(cm)
-                (est, cr, cm), _ = jax.lax.scan(step_body, (est, cr, cm),
-                                                length=window)
-                return (est, cr, cm), None
+                if not amortise:
+                    (est, cr, cm), _ = jax.lax.scan(
+                        step_body, (est, cr, cm), length=window)
+                    return (est, cr, cm, gmax), None
+
+                saved = (est, cr, cm)
+                est, cr, cm, gobs = run_frozen_window(est, cr, cm, gmax)
+
+                # Validation + rollback re-run: the window's dts came from
+                # gmax*dt_safety, so they are rigorously CFL-valid iff the
+                # observed speed stayed within the margin.  Replicated
+                # predicate -> identical trip count on every device.  The
+                # retry cap is a divergence backstop (speeds are
+                # physically bounded; >2 trips is already rare).
+                def violated(val):
+                    _e, _c, _m, g, gob, it = val
+                    return (gob > g * dt_safety) & (it < 4)
+
+                def rerun(val):
+                    _e, _c, _m, _g, gob, it = val
+                    g_new = gob
+                    e0, c0, m0 = saved
+                    # The carried-in dt was derived from the stale speed;
+                    # cap it too (preserving the negative-dt suspension
+                    # and the sync-landing value, which is only ever
+                    # smaller).
+                    dt_cap = ts_params.courant * params.dx \
+                        / (g_new * dt_safety)
+                    c0 = c0._replace(dt=jnp.where(
+                        c0.dt > 0.0, jnp.minimum(c0.dt, dt_cap), c0.dt))
+                    e1, c1, m1, gob1 = run_frozen_window(e0, c0, m0, g_new)
+                    return e1, c1, m1, g_new, gob1, it + 1
+
+                est, cr, cm, gmax, gobs, _ = jax.lax.while_loop(
+                    violated, rerun, (est, cr, cm, gmax, gobs,
+                                      jnp.zeros((), jnp.int32)))
+                # The observed max seeds the next window's frozen speed.
+                return (est, cr, cm, gobs), None
 
             est = FlowState(ez, ezmax, eqx, eqy)
-            (est, carry, ecomp), _ = jax.lax.scan(
-                window_body, (est, carry, ecomp), length=n_windows)
+            if amortise:
+                # One collective seeds the first window's frozen speed.
+                gmax0 = pmax2(owned_max_speed(est))
+            else:
+                gmax0 = jnp.zeros((), ez.dtype)
+            (est, carry, ecomp, _), _ = jax.lax.scan(
+                window_body, (est, carry, ecomp, gmax0), length=n_windows)
 
             interior = (slice(pad_r, pad_r + r), slice(pad_c, pad_c + c))
             out_comp = ecomp[interior] if compensated else comp

@@ -69,6 +69,15 @@ class SimulationConfig:
                                         # GSPMD halos) | "forecast"
                                         # (halo-deep windows)
     forecast_window: int = 8            # steps per exchange in forecast
+    forecast_dt: str = "window"         # forecast dt discipline:
+                                        # "window" (frozen speed + one
+                                        # pmax per window + rollback
+                                        # revalidation — O(1) collectives
+                                        # per window, the reference's
+                                        # free-running forecast completed
+                                        # TPU-natively) | "step"
+                                        # (lock-step pmax every step)
+    forecast_dt_safety: float = 1.05    # frozen-speed inflation margin
     io_mode: str = "auto"               # output/checkpoint gathering:
                                         # "gather" (full grid on every
                                         # host) | "stream" (bounded row
@@ -379,7 +388,9 @@ class Simulation:
                     backend=self.backend,
                     interpret=self._interpret,
                     muscl_variant=config.muscl_variant,
-                    local_rows=lr_arg)
+                    local_rows=lr_arg,
+                    dt_mode=config.forecast_dt,
+                    dt_safety=config.forecast_dt_safety)
             self._steps_per_unit = self._mesh_window
         else:
             self._run_batch = self._build_run_batch()

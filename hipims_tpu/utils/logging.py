@@ -33,6 +33,8 @@ class Logger:
 
     def block(self, title):
         bar = "-" * 60
+        self._last_block = title
+        self._block_shown = not self.quiet
         if self.color and not self.quiet:
             print(f"\033[96m{bar}\n {title}\n{bar}\033[0m", flush=True)
         elif not self.quiet:
@@ -41,4 +43,10 @@ class Logger:
             self.file.write(f"{bar}\n {title}\n{bar}\n")
 
     def error(self, msg):
+        # Quiet runs suppress block titles; an error without its phase
+        # context is harder to place, so surface the title on stderr once.
+        if not getattr(self, "_block_shown", True) and \
+                getattr(self, "_last_block", None):
+            self.line(f"(during: {self._last_block})", error=True)
+            self._block_shown = True
         self.line(f"ERROR: {msg}", error=True)

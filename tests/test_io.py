@@ -441,4 +441,11 @@ def test_cli_mass_balance_flag(tmp_path, capsys):
     out = capsys.readouterr().out
     lines = [ln for ln in out.splitlines() if "Mass balance" in ln]
     assert len(lines) == 2
-    assert all("delta +0.000" in ln for ln in lines)
+    # Parse the printed delta instead of string-matching "+0.000":
+    # a -1e-15 drift formats as "-0.000" under %+.3f and would fail a
+    # literal match while being physically perfect.
+    import re
+    for ln in lines:
+        m = re.search(r"delta ([+-][\d.]+)", ln)
+        assert m, ln
+        assert abs(float(m.group(1))) <= 1e-3, ln

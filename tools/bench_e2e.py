@@ -1,0 +1,263 @@
+"""End-to-end reference-scenario wall-clock benchmark (VERDICT r4 item 4).
+
+BASELINE.md's headline numbers are TOTAL runtimes (Malpasset 66 s f32 /
+243 s f64; Thamesmead-at-2-m 40.20 min f32 / 137.88 min f64 on the
+NVIDIA M2075), while bench.py measures steady-state scan rate only.
+This harness builds reference-scale models, runs them through the REAL
+CLI entry point (XML load -> simulation -> raster outputs -> progress),
+and records total wall time in BENCH_E2E.json.
+
+Scenarios (synthetic terrain at the reference's scale — the real DEMs
+are not redistributable):
+
+* malpasset-class — 1792x1024 = 1.84 M cells @ 10 m, MUSCL-Hancock,
+  4000 s simulated, 55 m reservoir dam break down a sloping valley,
+  depth raster every 600 s.  Reference row: dam-break-cf config A.
+* thamesmead-class — 3072x2944 = 9.04 M cells @ 2 m, Godunov, 10 h
+  simulated, 2 h embankment-breach inflow over a dry floodplain, depth
+  raster hourly.  Reference row: urban-flood-jhi Thamesmead table.
+
+Each scenario runs twice in-process: the first (short) run pays every
+jit compile, the timed run then measures the deployment-relevant
+time-to-solution; BOTH are recorded (cold = timed + compile).
+
+Usage:  python tools/bench_e2e.py [--scenario malpasset|thamesmead|all]
+                                  [--precision float|compensated|double]
+                                  [--out BENCH_E2E.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+XML = """<?xml version="1.0"?>
+<configuration>
+  <metadata><name>{name}</name><description>{desc}</description></metadata>
+  <simulation>
+    <parameter name="duration" value="{duration}" />
+    <parameter name="outputFrequency" value="{outfreq}" />
+    <parameter name="floatingPointPrecision" value="{precision}" />
+    <domainSet>
+      <domain type="cartesian">
+        <data sourceDir="topography/" targetDir="output/">
+          <dataSource type="raster" value="structure,dem" source="dem.tif" />
+          <dataSource type="constant" value="manningCoefficient"
+                      source="{manning}" />
+          {depth_source}
+          <dataTarget type="raster" value="depth" format="GTiff"
+                      target="depth_%t.tif" />
+          <dataTarget type="raster" value="maxdepth" format="GTiff"
+                      target="maxdepth_%t.tif" />
+        </data>
+        <scheme name="{scheme}">
+          <parameter name="courantNumber" value="0.5" />
+          <parameter name="frictionEffects" value="yes" />
+        </scheme>
+        <boundaryConditions sourceDir="boundaries/">
+          <domainEdge edge="north" treatment="closed" />
+          <domainEdge edge="south" treatment="closed" />
+          <domainEdge edge="east" treatment="closed" />
+          <domainEdge edge="west" treatment="closed" />
+          {boundaries}
+        </boundaryConditions>
+      </domain>
+    </domainSet>
+  </simulation>
+</configuration>
+"""
+
+
+def _write(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def build_malpasset_class(root, rows=1024, cols=1792, duration=4000.0,
+                          outfreq=600.0):
+    """1792x1024 @ 10 m: a 55 m-deep reservoir behind a dam, valley
+    descending at 1% toward the outlet, rough walls."""
+    from hipims_tpu.io.raster import Raster, write_raster
+
+    dx = 10.0
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    # Valley: parabolic cross-section, 1% downstream slope.
+    cross = ((yy - rows / 2.0) / (rows / 2.0)) ** 2 * 80.0
+    bed = 200.0 - xx * dx * 0.01 + cross
+    dam_col = max(8, cols * 400 // 1792)
+    depth = np.zeros((rows, cols))
+    # Reservoir filled to 55 m above the valley floor at the dam.
+    res_fsl = bed[rows // 2, dam_col] + 55.0
+    depth[:, :dam_col] = np.maximum(0.0, res_fsl - bed[:, :dam_col])
+    os.makedirs(os.path.join(root, "topography"), exist_ok=True)
+    write_raster(os.path.join(root, "topography", "dem.tif"),
+                 Raster(data=bed[::-1, :], xll=0.0, yll=0.0,
+                        cell_size=dx, nodata=-9999.0))
+    write_raster(os.path.join(root, "topography", "depth.tif"),
+                 Raster(data=depth[::-1, :], xll=0.0, yll=0.0,
+                        cell_size=dx, nodata=-9999.0))
+    return dict(rows=rows, cols=cols, dx=dx, scheme="muscl-hancock",
+                duration=duration, outfreq=outfreq, manning=0.033,
+                depth_source='<dataSource type="raster" value="depth" '
+                             'source="depth.tif" />',
+                boundaries="", name="malpasset-class",
+                desc="Synthetic Malpasset-scale dam break")
+
+
+def build_thamesmead_class(root, rows=2944, cols=3072, duration=36000.0,
+                           outfreq=3600.0):
+    """3072x2944 @ 2 m: dry coastal floodplain (0.2% slope away from the
+    river edge), 2 h breach inflow of 400 m^3/s across 50 edge cells."""
+    from hipims_tpu.io.raster import Raster, write_raster
+
+    dx = 2.0
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    bed = 2.0 + xx * dx * 0.002 \
+        + 0.2 * np.sin(yy / 40.0) * np.sin(xx / 60.0)
+    os.makedirs(os.path.join(root, "topography"), exist_ok=True)
+    write_raster(os.path.join(root, "topography", "dem.tif"),
+                 Raster(data=np.asarray(bed[::-1, :], np.float32),
+                        xll=0.0, yll=0.0, cell_size=dx, nodata=-9999.0))
+    # Breach: 50 cells along the west edge, 400 m^3/s total for 2 h.
+    nb = min(25, rows // 4)
+    cells = "\n".join(f"{1.0 * dx + 0.01},{(rows // 2 + i) * dx + 0.01}"
+                      for i in range(-nb, nb))
+    _write(os.path.join(root, "boundaries", "breach.csv"), cells + "\n")
+    _write(os.path.join(root, "boundaries", "hydrograph.csv"),
+           "Time,Depth,Qx,Qy\n0,0,400,0\n7200,0,400,0\n7201,0,0,0\n"
+           "36000,0,0,0\n")
+    bdy = ('<timeseries type="cell" name="Breach" value="discharge" '
+           'source="hydrograph.csv" mapFile="breach.csv" '
+           'depthValue="ignore" dischargeValue="total" />')
+    return dict(rows=rows, cols=cols, dx=dx, scheme="godunov",
+                duration=duration, outfreq=outfreq, manning=0.035,
+                depth_source="", boundaries=bdy,
+                name="thamesmead-class",
+                desc="Synthetic Thamesmead-scale breach flood")
+
+
+REFERENCE_ROWS = {
+    # scenario -> {precision-class: reference NVIDIA M2075 seconds}
+    "malpasset-class": {"float32": 66.0, "float64-class": 243.0},
+    "thamesmead-class": {"float32": 40.20 * 60.0,
+                         "float64-class": 137.88 * 60.0},
+}
+
+
+def run_scenario(build, precision, workdir):
+    import jax
+
+    from hipims_tpu.cli import main as cli_main
+
+    root = os.path.join(workdir, "model")
+    os.makedirs(root, exist_ok=True)
+    spec = build(root)
+    xml = XML.format(precision=precision, **spec)
+    cfg_path = os.path.join(root, "model.xml")
+    _write(cfg_path, xml)
+
+    # Warm-up: a short run in-process pays every compile (the relay's
+    # persistent cache does not survive processes) — duration of a few
+    # steps plus one output event.
+    warm_xml = XML.format(**{**spec, "duration": 2.0, "outfreq": 2.0,
+                             "precision": precision})
+    warm_path = os.path.join(root, "warm.xml")
+    _write(warm_path, warm_xml)
+    t0 = time.time()
+    rc = cli_main(["-c", warm_path, "-n", "-q"])
+    compile_s = time.time() - t0
+    assert rc == 0, "warm-up run failed"
+
+    t0 = time.time()
+    rc = cli_main(["-c", cfg_path, "-n", "-q"])
+    wall = time.time() - t0
+    assert rc == 0, "timed run failed"
+
+    outdir = os.path.join(root, "output")
+    outputs = sorted(os.listdir(outdir))
+    cells = spec["rows"] * spec["cols"]
+    refs = REFERENCE_ROWS[spec["name"]]
+    ref_key = ("float32" if precision == "float"
+               else "float64-class")
+    ref_s = refs[ref_key]
+    return dict(
+        scenario=spec["name"], precision=precision,
+        grid=[spec["rows"], spec["cols"]], cells=cells,
+        scheme=spec["scheme"], simulated_s=spec["duration"],
+        outputs=len(outputs),
+        wall_s=round(wall, 2),
+        compile_plus_short_run_s=round(compile_s, 2),
+        cold_total_s=round(wall + compile_s, 2),
+        device=str(jax.devices()[0]),
+        reference_m2075_s=ref_s,
+        reference_row=("dam-break-cf config A"
+                       if spec["name"] == "malpasset-class"
+                       else "urban-flood-jhi Thamesmead DTM 2 m"),
+        speedup_vs_reference=round(ref_s / wall, 2),
+        speedup_cold=round(ref_s / (wall + compile_s), 2),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="all",
+                    choices=("malpasset", "thamesmead", "all"))
+    ap.add_argument("--precision", default=None,
+                    help="float|compensated|double (default: float + "
+                         "compensated for malpasset, compensated for "
+                         "thamesmead)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_E2E.json"))
+    ap.add_argument("--workdir", default="/tmp/hipims_e2e")
+    args = ap.parse_args()
+
+    runs = []
+    if args.scenario in ("malpasset", "all"):
+        for prec in ([args.precision] if args.precision
+                     else ["float", "compensated"]):
+            runs.append(("malpasset", build_malpasset_class, prec))
+    if args.scenario in ("thamesmead", "all"):
+        for prec in ([args.precision] if args.precision
+                     else ["compensated"]):
+            runs.append(("thamesmead", build_thamesmead_class, prec))
+
+    results = []
+    for name, build, prec in runs:
+        wd = os.path.join(args.workdir, f"{name}_{prec}")
+        print(f"=== {name} [{prec}] ===", flush=True)
+        res = run_scenario(build, prec, wd)
+        print(json.dumps(res), flush=True)
+        results.append(res)
+        # Merge into the artifact incrementally so a cut-off session
+        # still lands completed scenarios.
+        existing = []
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    existing = json.load(f).get("runs", [])
+            except Exception:  # noqa: BLE001
+                existing = []
+        existing = [r for r in existing
+                    if not (r.get("scenario") == res["scenario"]
+                            and r.get("precision") == res["precision"])]
+        existing.append(res)
+        with open(args.out, "w") as f:
+            json.dump(dict(runs=existing), f, indent=1)
+    print(f"-> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
