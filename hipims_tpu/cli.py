@@ -172,6 +172,12 @@ def main(argv=None):
     except ValueError as e:
         log.error(f"Invalid model configuration: {e}")
         return 1
+    if mesh is not None:
+        # Per-device block table (the reference's per-domain table,
+        # src/CModel.cpp:343-462 — static under SPMD lock-step).
+        from .runtime.progress import device_table
+        for ln in device_table(sim):
+            log.line(ln)
     if not coordinator:
         # Non-coordinator processes must run the output path too — its
         # state gathers are global collectives, so skipping them would

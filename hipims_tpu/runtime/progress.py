@@ -59,3 +59,31 @@ class ProgressReporter:
         if wall > 0:
             self.log.line(f"  Throughput:  {total * cells / wall / 1e6:.1f} "
                           f"Mcells/s")
+
+
+def device_table(sim):
+    """Per-device rows for a mesh run — the reference's per-domain
+    progress table (src/CModel.cpp:343-462) re-shaped for SPMD: every
+    device advances in lock step (one global dt), so the per-device
+    figures that vary in the reference (batch size, average dt) are
+    shared here and the table reports each device's static block
+    assignment instead.  Returns a list of formatted lines."""
+    if sim.mesh is None:
+        return []
+    devs = sim.mesh.devices
+    py, px = devs.shape
+    rows, cols = sim.domain.rows, sim.domain.cols
+    r_loc = -(-rows // py)
+    c_loc = -(-cols // px)
+    lines = ["  dev   placement   block rows        block cols       cells"]
+    for iy in range(py):
+        for ix in range(px):
+            d = devs[iy, ix]
+            r0, r1 = iy * r_loc, min((iy + 1) * r_loc, rows)
+            c0, c1 = ix * c_loc, min((ix + 1) * c_loc, cols)
+            lines.append(
+                f"  {str(getattr(d, 'id', f'{iy},{ix}')):>4}  "
+                f"({iy},{ix})      "
+                f"[{r0:>6}..{r1:>6})  [{c0:>6}..{c1:>6})  "
+                f"{(r1 - r0) * (c1 - c0):>10,}")
+    return lines

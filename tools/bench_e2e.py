@@ -64,6 +64,13 @@ XML = """<?xml version="1.0"?>
         <scheme name="{scheme}">
           <parameter name="courantNumber" value="0.5" />
           <parameter name="frictionEffects" value="yes" />
+          <!-- Fixed batch: one jit compile per run.  The TPU relay in
+               this environment recompiles per batch size (its persistent
+               cache does not populate), which would otherwise dominate
+               the adaptive-queue path's wall time with compile
+               artifacts. -->
+          <parameter name="queueSize" value="1024" />
+          <parameter name="queueMode" value="fixed" />
         </scheme>
         <boundaryConditions sourceDir="boundaries/">
           <domainEdge edge="north" treatment="closed" />
@@ -135,9 +142,14 @@ def build_thamesmead_class(root, rows=2944, cols=3072, duration=36000.0,
     cells = "\n".join(f"{1.0 * dx + 0.01},{(rows // 2 + i) * dx + 0.01}"
                       for i in range(-nb, nb))
     _write(os.path.join(root, "boundaries", "breach.csv"), cells + "\n")
+    # Uniform 3600 s rows (the cell-boundary time lookup is
+    # uniform-interval): 400 m^3/s for the first 2 h, then zero.
+    rows_csv = ["Time,Depth,Qx,Qy"]
+    for t in range(0, max(int(duration), 7200) + 1, 3600):
+        q = 400.0 if t < 7200 else 0.0
+        rows_csv.append(f"{t},0,{q},0")
     _write(os.path.join(root, "boundaries", "hydrograph.csv"),
-           "Time,Depth,Qx,Qy\n0,0,400,0\n7200,0,400,0\n7201,0,0,0\n"
-           "36000,0,0,0\n")
+           "\n".join(rows_csv) + "\n")
     bdy = ('<timeseries type="cell" name="Breach" value="discharge" '
            'source="hydrograph.csv" mapFile="breach.csv" '
            'depthValue="ignore" dischargeValue="total" />')
