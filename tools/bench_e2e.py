@@ -192,10 +192,20 @@ def run_scenario(build, precision, workdir):
     compile_s = time.time() - t0
     assert rc == 0, "warm-up run failed"
 
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
     t0 = time.time()
-    rc = cli_main(["-c", cfg_path, "-n", "-q"])
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["-c", cfg_path, "-n"])
     wall = time.time() - t0
+    out = buf.getvalue()
+    sys.stdout.write("\n".join(out.splitlines()[-6:]) + "\n")
     assert rc == 0, "timed run failed"
+    m = re.search(r"Iterations:\s+(\d+)", out)
+    steps = int(m.group(1)) if m else None
 
     outdir = os.path.join(root, "output")
     outputs = sorted(os.listdir(outdir))
@@ -204,7 +214,7 @@ def run_scenario(build, precision, workdir):
     ref_key = ("float32" if precision == "float"
                else "float64-class")
     ref_s = refs[ref_key]
-    return dict(
+    res = dict(
         scenario=spec["name"], precision=precision,
         grid=[spec["rows"], spec["cols"]], cells=cells,
         scheme=spec["scheme"], simulated_s=spec["duration"],
@@ -220,6 +230,26 @@ def run_scenario(build, precision, workdir):
         speedup_vs_reference=round(ref_s / wall, 2),
         speedup_cold=round(ref_s / (wall + compile_s), 2),
     )
+    if steps:
+        # The step count makes the comparison honest across scenario
+        # differences: the synthetic terrain's CFL dt need not match the
+        # real event's, so report the achieved END-TO-END update rate
+        # (outputs + host loop included) beside the reference's
+        # published per-scenario rates (556/159 M cells/s Malpasset).
+        res["steps"] = steps
+        res["avg_dt_s"] = round(spec["duration"] / steps, 4)
+        rate = cells * steps / wall
+        res["e2e_cell_updates_per_s"] = round(rate, 1)
+        ref_rate = {"malpasset-class": {"float32": 556e6,
+                                        "float64-class": 159e6}}.get(
+            spec["name"], {}).get(ref_key)
+        if ref_rate:
+            res["reference_rate_cells_per_s"] = ref_rate
+            res["speedup_vs_reference_rate"] = round(rate / ref_rate, 2)
+            # What the reference GPU would need for THIS step count.
+            res["reference_projected_s"] = round(cells * steps / ref_rate,
+                                                 1)
+    return res
 
 
 def main():
