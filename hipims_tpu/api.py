@@ -136,9 +136,27 @@ class SimulationHandle:
     def field(self, value: str) -> np.ndarray:
         from .runtime.output import derive_field
         view = self._snapshot if self._snapshot is not None else self._sim
+        datum = getattr(self._sim.domain, "datum", 0.0)
+        if getattr(view, "streaming", False):
+            # Streamed snapshot (io_mode='stream'/auto on large grids):
+            # assemble ONLY the requested derived field from bounded
+            # chunks.  Single-process only — inside a rank-gated callback
+            # the chunk collectives would run asymmetrically and deadlock
+            # a cluster, so multi-host embedders must use io_mode=
+            # 'gather' for field access.
+            import jax
+            if jax.process_count() > 1:
+                raise RuntimeError(
+                    "field() inside an on_output callback is not "
+                    "available in multi-process streamed-IO runs; set "
+                    "io_mode='gather' (or sample gauges instead)")
+            rows = [derive_field(value, st, sc, self._sim.domain.dx,
+                                 datum=datum)
+                    for _r0, st, sc in view.stream_chunks()]
+            return np.concatenate(rows)
         return derive_field(value, view.state_logical,
                             view.static_logical, self._sim.domain.dx,
-                            datum=getattr(self._sim.domain, "datum", 0.0))
+                            datum=datum)
 
     @property
     def simulation(self):
@@ -158,9 +176,15 @@ class _ChainedWriter:
     def __call__(self, sim_view, t):
         if self.inner is not None:
             self.inner(sim_view, t)
+        # In streamed multi-host mode the writer runs on EVERY rank (its
+        # chunk iteration is collective); user callbacks must still fire
+        # once, on the writing rank only.
+        if not getattr(sim_view, "write_files", True):
+            return
         h = self.handle
-        # Expose the event's already-gathered snapshot so field() inside
-        # a callback costs no extra gathers.
+        # Expose the event's snapshot so field() inside a callback costs
+        # no extra gathers (gathered mode) / streams bounded chunks
+        # (streamed mode).
         h._snapshot = sim_view
         try:
             for cb in h._output_cbs:

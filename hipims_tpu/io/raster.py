@@ -290,6 +290,12 @@ class TiffStripWriter:
             self._counts.append(len(raw))
             self._f.write(raw)
             self._pos += len(raw)
+            if self._pos % 2:
+                # TIFF 6.0: all offsets must be word-aligned; compressed
+                # strip lengths are arbitrary, so pad (byte counts keep
+                # the true strip length).
+                self._f.write(b"\0")
+                self._pos += 1
 
     def close(self):
         assert self._rows_in == self.height, (
@@ -344,7 +350,9 @@ class TiffStripWriter:
                 out += payload.ljust(inline, b"\0")
             else:
                 ptr = ifd_off + ifd_size + len(extra)
-                extra += payload
+                # Even-length payloads keep every value offset
+                # word-aligned (TIFF 6.0).
+                extra += payload + (b"\0" if len(payload) % 2 else b"")
                 out += struct.pack(e + off_fmt, ptr)
         out += struct.pack(e + off_fmt, 0)          # next IFD
         self._f.write(out + extra)

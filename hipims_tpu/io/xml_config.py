@@ -640,7 +640,10 @@ def _parse_gridded(ts, bc_dir: Path, domain: Domain, duration: float,
                 + datetime.timedelta(seconds=t)).strftime(mask)
         path = bc_dir / name
         if not path.exists():
-            if t + interval <= duration:
+            if t < duration:
+                # Warn for ANY truncation inside the run — including a
+                # gap in the final partial interval, which still silently
+                # drops forcing for the rest of the run.
                 log.warning("gridded frame '%s' missing; series truncated "
                             "at t=%.0f s (the boundary applies nothing "
                             "beyond that)", name, t)

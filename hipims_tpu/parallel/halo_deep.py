@@ -117,7 +117,7 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
       Every accepted window is therefore rigorously CFL-valid — stronger
       than lock-step, whose dt always lags the speed by one step."""
     py, px = mesh.devices.shape
-    radius = 2 if scheme.name == "muscl-hancock" else 1
+    radius = scheme.radius
     pad_r, pad_c = halo_pads(window, radius, backend, local_rows)
     step_fn = scheme.step
     simplified = ts_params.simplified_speed
@@ -290,7 +290,12 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                              ts_params)
                 return (new, cr, cm_new), None
 
-            amortise = dt_mode == "window" and window > 1
+            # Amortised dt requires a CFL-driven controller: in fixed-dt
+            # mode advance() ignores the speed entirely, and the
+            # validation/rollback would wrongly clamp the user's fixed dt
+            # by a CFL law they opted out of.
+            amortise = (dt_mode == "window" and window > 1
+                        and ts_params.dynamic)
 
             def run_frozen_window(est, cr, cm, g):
                 """K collective-free steps on the frozen speed ``g`` (dt =
@@ -328,11 +333,18 @@ def build_halo_deep_batch(mesh: Mesh, scheme, params: SchemeParams,
                 # physically bounded; >2 trips is already rare).
                 def violated(val):
                     _e, _c, _m, g, gob, it = val
-                    return (gob > g * dt_safety) & (it < 4)
+                    # ~(<=) instead of (>): a NaN observed speed (a
+                    # window so over-dt that the state overflowed) MUST
+                    # count as violated — it is the very case the
+                    # rollback exists for.
+                    return ~(gob <= g * dt_safety) & (it < 4)
 
                 def rerun(val):
-                    _e, _c, _m, _g, gob, it = val
-                    g_new = gob
+                    _e, _c, _m, g, gob, it = val
+                    # Non-finite observed speed carries no usable value;
+                    # halve the dt per retry instead (the snapshot is
+                    # clean, only the schedule was wrong).
+                    g_new = jnp.where(jnp.isfinite(gob), gob, g * 2.0)
                     e0, c0, m0 = saved
                     # The carried-in dt was derived from the stale speed;
                     # cap it too (preserving the negative-dt suspension

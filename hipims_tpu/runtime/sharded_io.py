@@ -34,6 +34,9 @@ from functools import partial
 import numpy as np
 
 
+_cut = None
+
+
 def _replicated_slice(arr, r0, n_rows):
     """One bounded chunk of a (possibly multi-host sharded) global array,
     materialised on every process.  Collective: call symmetrically."""
@@ -44,13 +47,18 @@ def _replicated_slice(arr, r0, n_rows):
         # requested rows of each shard.
         return np.asarray(arr[r0:r0 + n_rows])
 
-    @partial(jax.jit, static_argnums=(2,))
-    def cut(a, r0_, n):
-        return jax.lax.dynamic_slice_in_dim(a, r0_, n, axis=0)
+    global _cut
+    if _cut is None:
+        # Module-level jit so the trace/compile caches across chunks and
+        # events (a per-call wrapper would recompile every chunk).
+        @partial(jax.jit, static_argnums=(2,))
+        def _cut_impl(a, r0_, n):
+            return jax.lax.dynamic_slice_in_dim(a, r0_, n, axis=0)
+        _cut = _cut_impl
 
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(
-        cut(arr, r0, n_rows), tiled=True))
+        _cut(arr, r0, n_rows), tiled=True))
 
 
 def stream_global_rows(arr, chunk_rows, reverse=False):

@@ -178,3 +178,42 @@ def test_large_grid_smoke_streams_within_budget(tmp_path):
         assert ck["z"].shape == (sim.domain.rows, sim.domain.cols)
     # Compressed: far below the 268 MB uncompressed plane.
     assert os.path.getsize(tmp_path / "d_0.tif") < 40 << 20
+
+
+def test_api_field_on_streamed_snapshot(tmp_path):
+    """handle.field(...) inside an on_output callback must work with the
+    streamed snapshot (single-process): the derived field assembles from
+    bounded chunks and matches the gathered computation."""
+    from hipims_tpu.io.raster import Raster, write_raster
+
+    write_raster(tmp_path / "dem.asc",
+                 Raster(np.zeros((48, 64)), cell_size=2.0))
+    (tmp_path / "m.xml").write_text("""<?xml version="1.0"?>
+    <configuration><metadata><name>F</name></metadata>
+    <simulation>
+      <parameter name="duration" value="4" />
+      <parameter name="outputFrequency" value="2" />
+      <domainSet><domain type="cartesian">
+        <data sourceDir="." targetDir="out/">
+          <dataSource type="constant" value="depth" source="0.3" />
+          <dataSource type="constant" value="manningCoefficient"
+                      source="0.03" />
+          <dataSource type="raster" value="structure,dem" source="dem.asc"/>
+        </data>
+        <scheme name="Godunov" />
+      </domain></domainSet></simulation></configuration>""")
+
+    from hipims_tpu.api import simulation_load
+
+    h = simulation_load(tmp_path / "m.xml")
+    h.simulation.config.io_mode = "stream"
+    got = {}
+
+    def cb(handle, t):
+        got[t] = handle.field("depth")
+
+    h.on_output(cb).launch(blocking=True)
+    assert set(got) == {2.0, 4.0}
+    want = h.field("depth")              # post-run, non-snapshot path
+    assert got[4.0].shape == (48, 64)
+    np.testing.assert_allclose(got[4.0], want, rtol=1e-6, atol=1e-9)

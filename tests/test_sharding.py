@@ -547,3 +547,30 @@ def test_forecast_window_rollback_from_dry():
                                rtol=1e-9, atol=2e-9)
     assert shd.volume() > 0.0
     assert shd.volume() == pytest.approx(ref.volume(), rel=1e-9)
+
+
+def test_forecast_window_fixed_dt_not_clamped():
+    """Fixed-timestep runs opt OUT of the CFL law, so the amortised
+    forecast machinery must not validate/rollback/clamp them: dt stays
+    exactly the configured fixed dt and the mesh run matches the
+    single-device fixed-dt run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def build(mesh):
+        cfg = SimulationConfig(scheme="godunov", duration=3.0,
+                               output_frequency=3.0, batch_size=4,
+                               batch_auto=False, timestep_mode="fixed",
+                               fixed_timestep=0.02,
+                               sync_method="forecast", forecast_window=4)
+        return Simulation(_deep_dam_domain(64), cfg, mesh=mesh)
+
+    ref = build(None)
+    ref.run()
+    shd = build(make_mesh(8))
+    shd.run()
+    assert shd.t == pytest.approx(ref.t, abs=1e-9)
+    assert abs(float(shd.carry.dt)) == pytest.approx(0.02, abs=1e-12)
+    np.testing.assert_allclose(np.asarray(shd.state.z),
+                               np.asarray(ref.state.z),
+                               rtol=1e-7, atol=5e-9)

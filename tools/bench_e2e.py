@@ -191,6 +191,10 @@ def run_scenario(build, precision, workdir):
     rc = cli_main(["-c", warm_path, "-n", "-q"])
     compile_s = time.time() - t0
     assert rc == 0, "warm-up run failed"
+    # Drop the warm-up's rasters so the artifact counts only the timed
+    # run's outputs.
+    import shutil
+    shutil.rmtree(os.path.join(root, "output"), ignore_errors=True)
 
     import contextlib
     import io
