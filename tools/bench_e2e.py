@@ -160,11 +160,45 @@ def build_thamesmead_class(root, rows=2944, cols=3072, duration=36000.0,
                 desc="Synthetic Thamesmead-scale breach flood")
 
 
+def build_glasgow_class(root, rows=256, cols=384, duration=18000.0,
+                        outfreq=3600.0):
+    """384x256 = 98,304 cells @ 2 m (the reference's Glasgow EA
+    benchmark scale): undulating urban-ish terrain, 38.4 mm of rain in
+    the first hour + continuous drainage loss, 1st-order Godunov, 5 h."""
+    from hipims_tpu.io.raster import Raster, write_raster
+
+    dx = 2.0
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    bed = (30.0 - xx * dx * 0.01
+           + 1.5 * np.sin(yy / 12.0) * np.sin(xx / 17.0)
+           + 0.5 * np.sin(yy / 3.1) * np.cos(xx / 4.3))
+    os.makedirs(os.path.join(root, "topography"), exist_ok=True)
+    write_raster(os.path.join(root, "topography", "dem.tif"),
+                 Raster(data=np.asarray(bed[::-1, :], np.float32),
+                        xll=0.0, yll=0.0, cell_size=dx, nodata=-9999.0))
+    _write(os.path.join(root, "boundaries", "rain.csv"),
+           "Time,Rate\n0,38.4\n3600,0\n7200,0\n10800,0\n14400,0\n"
+           "18000,0\n")
+    _write(os.path.join(root, "boundaries", "drain.csv"),
+           "Time,Rate\n0,6\n18000,6\n")
+    bdy = ('<timeseries type="atmospheric" name="Rain" '
+           'value="rain-intensity" source="rain.csv" />\n'
+           '          <timeseries type="atmospheric" name="Drain" '
+           'value="loss-rate" source="drain.csv" />')
+    return dict(rows=rows, cols=cols, dx=dx, scheme="godunov",
+                duration=duration, outfreq=outfreq, manning=0.04,
+                depth_source="", boundaries=bdy,
+                name="glasgow-class",
+                desc="Synthetic Glasgow-scale pluvial benchmark")
+
+
 REFERENCE_ROWS = {
     # scenario -> {precision-class: reference NVIDIA M2075 seconds}
     "malpasset-class": {"float32": 66.0, "float64-class": 243.0},
     "thamesmead-class": {"float32": 40.20 * 60.0,
                          "float64-class": 137.88 * 60.0},
+    "glasgow-class": {"float32": 1.98 * 60.0,
+                      "float64-class": 2.88 * 60.0},
 }
 
 
@@ -259,7 +293,7 @@ def run_scenario(build, precision, workdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="all",
-                    choices=("malpasset", "thamesmead", "all"))
+                    choices=("malpasset", "thamesmead", "glasgow", "all"))
     ap.add_argument("--precision", default=None,
                     help="float|compensated|double (default: float + "
                          "compensated for malpasset, compensated for "
@@ -279,6 +313,10 @@ def main():
         for prec in ([args.precision] if args.precision
                      else ["compensated"]):
             runs.append(("thamesmead", build_thamesmead_class, prec))
+    if args.scenario in ("glasgow", "all"):
+        for prec in ([args.precision] if args.precision
+                     else ["float", "compensated"]):
+            runs.append(("glasgow", build_glasgow_class, prec))
 
     results = []
     for name, build, prec in runs:
