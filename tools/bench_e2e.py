@@ -262,9 +262,11 @@ def run_scenario(build, precision, workdir):
         cold_total_s=round(wall + compile_s, 2),
         device=str(jax.devices()[0]),
         reference_m2075_s=ref_s,
-        reference_row=("dam-break-cf config A"
-                       if spec["name"] == "malpasset-class"
-                       else "urban-flood-jhi Thamesmead DTM 2 m"),
+        reference_row={
+            "malpasset-class": "dam-break-cf config A",
+            "thamesmead-class": "urban-flood-jhi Thamesmead DTM 2 m",
+            "glasgow-class": "urban-flood-jhi Glasgow table",
+        }[spec["name"]],
         speedup_vs_reference=round(ref_s / wall, 2),
         speedup_cold=round(ref_s / (wall + compile_s), 2),
     )

@@ -90,9 +90,10 @@ def main():
     sim.emit_output(float(carry.t))
     event_s = time.time() - t0
 
-    tif = os.path.join(outdir, f"depth_{int(float(carry.t))}.tif")
-    tif_files = [f for f in os.listdir(outdir) if f.endswith(".tif")]
-    tif = os.path.join(outdir, tif_files[0])
+    # Newest .tif = this event's raster (the dir may hold older runs').
+    tif_files = [os.path.join(outdir, f) for f in os.listdir(outdir)
+                 if f.endswith(".tif")]
+    tif = max(tif_files, key=os.path.getmtime)
     art = dict(
         rows=rows, cols=cols, cells=rows * cols, scheme=scheme,
         dtype=dtype, backend=sim.backend,
