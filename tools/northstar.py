@@ -109,8 +109,20 @@ def main():
     )
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "NORTHSTAR.json")
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            # Legacy single-record layout folds into the keyed one.
+            merged = prev if "runs" in prev else {
+                "runs": {f"{prev.get('scheme', '?')}/"
+                         f"{prev.get('dtype', '?')}": prev}}
+        except Exception:  # noqa: BLE001
+            merged = {}
+    merged.setdefault("runs", {})[f"{scheme}/{dtype}"] = art
     with open(out, "w") as f:
-        json.dump(art, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(art), flush=True)
     print("->", out, flush=True)
 
