@@ -25,9 +25,10 @@ import numpy as np
 
 log = logging.getLogger("hipims_tpu.config")
 
-# <simulation> parameters the loader consumes.
+# <simulation> parameters the loader consumes ("iomode" is a framework
+# extension: gather | stream | auto output/checkpoint I/O).
 _KNOWN_SIM_PARAMS = {"duration", "outputfrequency", "floatingpointprecision",
-                     "realstart"}
+                     "realstart", "iomode"}
 # <scheme> parameters the loader consumes.
 _KNOWN_SCHEME_PARAMS = {"courantnumber", "drythreshold", "timestepmode",
                         "timestepinitial", "timestepfixed",
@@ -179,6 +180,13 @@ def load_config(path) -> LoadedModel:
         cfg.dtype = "float32c"
     else:
         cfg.dtype = "float32"
+
+    io_mode = sim_params.get("iomode", "").lower()
+    if io_mode in ("gather", "stream", "auto"):
+        cfg.io_mode = io_mode
+    elif io_mode:
+        log.warning("%s: unknown ioMode '%s' (expected gather/stream/"
+                    "auto); using auto", path.name, io_mode)
 
     # Real-world start time (drives strftime masks for gridded boundaries;
     # reference: src/CModel.cpp:90-92 "realstart" + Util::fromTimestamp).

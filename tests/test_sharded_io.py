@@ -217,3 +217,36 @@ def test_api_field_on_streamed_snapshot(tmp_path):
     want = h.field("depth")              # post-run, non-snapshot path
     assert got[4.0].shape == (48, 64)
     np.testing.assert_allclose(got[4.0], want, rtol=1e-6, atol=1e-9)
+
+
+def test_io_mode_from_xml(tmp_path):
+    """<parameter name="ioMode" value="stream"> (framework extension)
+    selects the streamed output path from the config file."""
+    from hipims_tpu.io.raster import Raster, write_raster
+    from hipims_tpu.io.xml_config import load_config
+
+    write_raster(tmp_path / "dem.asc", Raster(np.zeros((16, 16)),
+                                              cell_size=2.0))
+    (tmp_path / "m.xml").write_text("""<?xml version="1.0"?>
+    <configuration><metadata><name>IO</name></metadata>
+    <simulation>
+      <parameter name="duration" value="2" />
+      <parameter name="outputFrequency" value="2" />
+      <parameter name="ioMode" value="stream" />
+      <domainSet><domain type="cartesian">
+        <data sourceDir="." targetDir="out/">
+          <dataSource type="constant" value="depth" source="0.1" />
+          <dataSource type="constant" value="manningCoefficient"
+                      source="0.03" />
+          <dataSource type="raster" value="structure,dem" source="dem.asc"/>
+          <dataTarget type="raster" value="depth" format="GTiff"
+                      target="d_%t.tif" />
+        </data>
+        <scheme name="Godunov" />
+      </domain></domainSet></simulation></configuration>""")
+    model = load_config(tmp_path / "m.xml")
+    assert model.config.io_mode == "stream"
+    sim = model.simulation()
+    assert sim.io_streaming()
+    sim.run()
+    assert (tmp_path / "out" / "d_2.tif").exists()
