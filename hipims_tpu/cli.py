@@ -65,18 +65,27 @@ def parse_args(argv=None):
 
 
 def _set_platform(platform: str) -> bool:
-    """Apply a jax_platforms hint; returns False when the JAX backend is
-    already initialised in-process (an embedding caller touched JAX
-    first), in which case the update would be silently ineffective."""
+    """Apply a jax_platforms hint; returns False when it cannot take
+    effect (the JAX backend was already initialised in-process by an
+    embedding caller).  The probe uses a private symbol, so the OUTCOME
+    is verified directly afterwards — on any JAX version, a silent no-op
+    update is detected by checking the actual backend platform."""
     import jax
     try:
         from jax._src import xla_bridge
         if xla_bridge.backends_are_initialized():
             return False
     except (ImportError, AttributeError):
-        pass
-    jax.config.update("jax_platforms", platform)
-    return True
+        pass                                # verified below instead
+    try:
+        jax.config.update("jax_platforms", platform)
+    except RuntimeError:
+        return False
+    try:
+        want = platform.split(",")[0].strip().lower()
+        return jax.devices()[0].platform.lower() == want
+    except RuntimeError:
+        return False
 
 
 def main(argv=None):

@@ -2,9 +2,11 @@
 
 Formats:
   * ESRI ASCII grid (.asc)        — read + write
-  * GeoTIFF (.tif/.tiff)          — read (uncompressed/deflate strips or
-                                    tiles) + write (uncompressed strips,
-                                    float32/float64, GeoTIFF georeferencing
+  * GeoTIFF (.tif/.tiff)          — read (classic + BigTIFF;
+                                    uncompressed/deflate strips or tiles)
+                                    + write (deflate-compressed float32
+                                    strips, streaming-capable, auto-BigTIFF
+                                    past 4 GB, GeoTIFF georeferencing
                                     + GDAL nodata tag)
   * Erdas Imagine HFA (.img)      — read via io.hfa (subset)
 
@@ -274,9 +276,15 @@ class TiffStripWriter:
         block = np.ascontiguousarray(np.asarray(block, np.float32))
         if block.ndim == 1:
             block = block[None, :]
-        assert block.shape[1] == self.width
+        # Real exceptions, not asserts: a short/wide-fed writer must fail
+        # loudly (python -O would strip asserts and emit a corrupt file).
+        if block.shape[1] != self.width:
+            raise ValueError(f"row width {block.shape[1]} != declared "
+                             f"{self.width}")
         self._rows_in += block.shape[0]
-        assert self._rows_in <= self.height, "more rows than declared"
+        if self._rows_in > self.height:
+            raise ValueError(f"received {self._rows_in} rows for a "
+                             f"{self.height}-row raster")
         self._pending = (block if not self._pending.size
                          else np.concatenate([self._pending, block]))
         rps = self.rows_per_strip
@@ -298,8 +306,9 @@ class TiffStripWriter:
                 self._pos += 1
 
     def close(self):
-        assert self._rows_in == self.height, (
-            f"wrote {self._rows_in} of {self.height} rows")
+        if self._rows_in != self.height:
+            raise ValueError(f"wrote {self._rows_in} of {self.height} "
+                             "rows; refusing to emit a truncated TIFF")
         e = "<"
         big = self.big
         off_t, off_fmt = (16, "Q") if big else (4, "I")

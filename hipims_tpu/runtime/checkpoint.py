@@ -157,16 +157,26 @@ def load_checkpoint(path, sim):
                 f"checkpoint datum {ck_datum} != simulation datum "
                 f"{getattr(sim.domain, 'datum', 0.0)} (precision modes "
                 "with different datum shifts cannot resume each other)")
-        dt_arr = jnp.asarray
-        sim.state = FlowState(
-            z=dt_arr(data["z"], dtype=sim.dtype),
-            zmax=dt_arr(data["zmax"], dtype=sim.dtype),
-            qx=dt_arr(data["qx"], dtype=sim.dtype),
-            qy=dt_arr(data["qy"], dtype=sim.dtype))
+        gs = None
+        if sim.mesh is not None:
+            from ..parallel.mesh import grid_sharding
+            gs = grid_sharding(sim.mesh)
+
+        def put(key):
+            # One plane at a time: read -> cast -> place (sharded when a
+            # mesh is active) -> free, so peak host memory is ONE plane,
+            # not the whole state (matters at streamed-checkpoint scale).
+            import jax
+            arr = np.asarray(data[key], dtype=sim.dtype)
+            return jax.device_put(arr, gs) if gs is not None \
+                else jnp.asarray(arr)
+
+        sim.state = FlowState(z=put("z"), zmax=put("zmax"),
+                              qx=put("qx"), qy=put("qy"))
         if getattr(sim, "compensated", False):
-            sim.comp = (dt_arr(data["comp"], dtype=sim.dtype)
-                        if "comp" in data
+            sim.comp = (put("comp") if "comp" in data
                         else jnp.zeros_like(sim.state.z))
+        dt_arr = jnp.asarray
         sim.carry = StepCarry(
             t=dt_arr(data["t"], dtype=sim.dtype),
             dt=dt_arr(data["dt"], dtype=sim.dtype),
@@ -174,12 +184,4 @@ def load_checkpoint(path, sim):
             batch_dt_total=dt_arr(data["batch_dt_total"], dtype=sim.dtype),
             batch_successful=jnp.asarray(data["batch_successful"]),
             batch_skipped=jnp.asarray(data["batch_skipped"]))
-        if sim.mesh is not None:
-            from ..parallel.mesh import grid_sharding
-            import jax
-            gs = grid_sharding(sim.mesh)
-            sim.state = FlowState(*(jax.device_put(a, gs)
-                                    for a in sim.state))
-            if getattr(sim, "comp", None) is not None:
-                sim.comp = jax.device_put(sim.comp, gs)
     return sim

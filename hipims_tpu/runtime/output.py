@@ -131,9 +131,11 @@ class GaugeOutputWriter:
                                  sim.static_logical, sim.domain.dx,
                                  datum=getattr(sim.domain, "datum", 0.0))
             vals = [field[r, c] for r, c in self.cells]
-        # Exact-NODATA mask would be fragile against float formatting;
-        # derived fields set exactly -9999.0 but compare robustly anyway.
-        vals = [0.0 if np.isclose(v, NODATA) else v for v in vals]
+        # Derived fields set the sentinel EXACTLY; a tight absolute
+        # tolerance guards float round-trips without the ~0.1-wide false
+        # window a default-rtol isclose(-9999) would open for real
+        # near--9999 elevation values.
+        vals = [0.0 if abs(v - NODATA) <= 1e-6 else v for v in vals]
         with open(self.target_path, "a") as f:
             f.write(f"{t:.6f}," + ",".join(f"{v:.6f}" for v in vals) + "\n")
 

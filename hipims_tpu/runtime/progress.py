@@ -72,15 +72,19 @@ def device_table(sim):
         return []
     devs = sim.mesh.devices
     py, px = devs.shape
+    # Blocks are laid out over the PADDED grid (tile alignment), but the
+    # table reports each block's share of the LOGICAL grid — the padding
+    # holds permanently-dry NODATA cells the user never configured.
     rows, cols = sim.domain.rows, sim.domain.cols
+    lr, lc = sim.domain.logical_rows, sim.domain.logical_cols
     r_loc = -(-rows // py)
     c_loc = -(-cols // px)
     lines = ["  dev   placement   block rows        block cols       cells"]
     for iy in range(py):
         for ix in range(px):
             d = devs[iy, ix]
-            r0, r1 = iy * r_loc, min((iy + 1) * r_loc, rows)
-            c0, c1 = ix * c_loc, min((ix + 1) * c_loc, cols)
+            r0, r1 = min(iy * r_loc, lr), min((iy + 1) * r_loc, lr)
+            c0, c1 = min(ix * c_loc, lc), min((ix + 1) * c_loc, lc)
             lines.append(
                 f"  {str(getattr(d, 'id', f'{iy},{ix}')):>4}  "
                 f"({iy},{ix})      "

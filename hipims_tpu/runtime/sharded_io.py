@@ -113,8 +113,11 @@ class StreamingCheckpointWriter:
                 chunk = np.ascontiguousarray(np.asarray(chunk, dtype))
                 f.write(chunk.tobytes())
                 written += chunk.shape[0]
-            assert written == shape[0], (
-                f"{key}: streamed {written} of {shape[0]} rows")
+            if written != shape[0]:
+                # A short member would crash np.load at resume; fail the
+                # save loudly instead (never an assert: python -O).
+                raise ValueError(f"{key}: streamed {written} of "
+                                 f"{shape[0]} rows")
 
     def close(self):
         self._zf.close()
@@ -155,8 +158,9 @@ class AscStripWriter:
             np.savetxt(self._f, block, fmt="%.6f")
 
     def close(self):
-        assert self._rows_in == self.height, (
-            f"wrote {self._rows_in} of {self.height} rows")
+        if self._rows_in != self.height:
+            raise ValueError(f"wrote {self._rows_in} of {self.height} "
+                             "rows; refusing to emit a truncated grid")
         self._f.close()
 
     def __enter__(self):

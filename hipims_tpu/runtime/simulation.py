@@ -631,5 +631,14 @@ class Simulation:
         return np.maximum(h, 0.0)
 
     def volume(self) -> float:
+        if self.io_streaming():
+            # Streamed-IO scale: an on-device reduction (replicated
+            # scalar) instead of a full-grid gather — the gather would
+            # defeat the bounded-memory mode (e.g. --mass-balance on a
+            # 10^8-cell grid).
+            v = _device_volume(self.state.z, self.state.zmax,
+                               self.static.zb, self.domain.logical_rows,
+                               self.domain.logical_cols)
+            return float(v) * self.domain.dx * self.domain.dy
         from .output import domain_volume
         return domain_volume(self, self.domain)
