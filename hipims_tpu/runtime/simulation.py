@@ -247,6 +247,15 @@ class Simulation:
         self._static_full_cache = None
         self.scheme: Scheme = get_scheme(config.scheme)
         self.mesh = mesh
+        if config.forecast_dt not in ("window", "step"):
+            raise ValueError(f"forecast_dt must be 'window' or 'step', "
+                             f"got {config.forecast_dt!r}")
+        if config.forecast_dt_safety < 1.0:
+            # A sub-1 margin makes every frozen-dt window violate its own
+            # validation (dt > the CFL law it is checked against) and
+            # churn the rollback retries forever.
+            raise ValueError("forecast_dt_safety must be >= 1.0 "
+                             f"(got {config.forecast_dt_safety})")
 
         if config.dtype == "float64" and not jax.config.jax_enable_x64:
             # The config asked for double precision; without this flag JAX

@@ -574,3 +574,37 @@ def test_forecast_window_fixed_dt_not_clamped():
     np.testing.assert_allclose(np.asarray(shd.state.z),
                                np.asarray(ref.state.z),
                                rtol=1e-7, atol=5e-9)
+
+
+def test_forecast_window_strict_safety_rollback_churn():
+    """forecast_dt_safety=1.0 (legal, maximally strict) makes EVERY
+    window with any speed growth violate and re-run — the rollback loop
+    under continuous fire must still produce the same physics as the
+    default margin, and sub-1 margins are rejected outright."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def run(safety):
+        cfg = SimulationConfig(scheme="godunov", duration=3.0,
+                               output_frequency=3.0, batch_size=4,
+                               batch_auto=False, sync_method="forecast",
+                               forecast_window=4,
+                               forecast_dt_safety=safety)
+        sim = Simulation(_deep_dam_domain(64), cfg, mesh=make_mesh(8))
+        sim.run()
+        return sim
+
+    strict = run(1.0)
+    default = run(1.05)
+    assert strict.t == pytest.approx(default.t, abs=1e-9)
+    assert np.isfinite(np.asarray(strict.state.z)).all()
+    assert strict.volume() == pytest.approx(default.volume(), rel=1e-12)
+    dz = np.abs(np.asarray(strict.state.z) - np.asarray(default.state.z))
+    assert dz.mean() < 0.03          # different valid dt schedules only
+
+    with pytest.raises(ValueError, match="forecast_dt_safety"):
+        cfg = SimulationConfig(forecast_dt_safety=0.9)
+        Simulation(_deep_dam_domain(64), cfg)
+    with pytest.raises(ValueError, match="forecast_dt"):
+        Simulation(_deep_dam_domain(64),
+                   SimulationConfig(forecast_dt="bogus"))
